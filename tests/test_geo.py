@@ -1,0 +1,180 @@
+"""Foundation tests: affine, CRS math, GeoTIFF codec, fixtures."""
+
+import numpy as np
+import pytest
+
+from s2sr_tpu.geo import Affine, CRS, GeoTiff, read_geotiff, transform_bounds, transform_points, write_geotiff
+from s2sr_tpu.geo.crs import (
+    lonlat_to_mercator,
+    lonlat_to_utm,
+    mercator_to_lonlat,
+    utm_to_lonlat,
+)
+from s2sr_tpu.fetch.synthetic import synthetic_multiband, synthetic_scene
+
+
+class TestAffine:
+    def test_mul_point(self):
+        t = Affine.from_origin(35.0, 32.0, 0.0001, 0.0001)
+        x, y = t * (0, 0)
+        assert (x, y) == (35.0, 32.0)
+        x, y = t * (10, 20)
+        assert x == pytest.approx(35.001)
+        assert y == pytest.approx(32.0 - 0.002)
+
+    def test_inverse_roundtrip(self):
+        t = Affine(0.5, 0.1, 100.0, -0.2, -0.5, 200.0)
+        inv = ~t
+        x, y = t * (13, 7)
+        c, r = inv * (x, y)
+        assert c == pytest.approx(13)
+        assert r == pytest.approx(7)
+
+    def test_rescaled_matches_reference_semantics(self):
+        # x4 SR keeps the origin, shrinks pixel size (wow_sr.py:128-135)
+        t = Affine.from_origin(10.0, 20.0, 4.0, 4.0)
+        r = t.rescaled(4)
+        assert r.a == 1.0 and r.e == -1.0
+        assert (r.c, r.f) == (10.0, 20.0)
+
+    def test_from_bounds(self):
+        t = Affine.from_bounds(0, 0, 10, 20, 100, 200)
+        assert t.bounds(100, 200) == pytest.approx((0, 0, 10, 20))
+
+
+class TestCRS:
+    def test_parse(self):
+        assert CRS.from_string("EPSG:3857").epsg == 3857
+        assert CRS.from_string(4326).is_geographic
+        assert CRS(32636).utm_zone == (36, True)
+        assert CRS(32736).utm_zone == (36, False)
+
+    def test_mercator_known_point(self):
+        # Null island and a reference point cross-checked against proj
+        x, y = lonlat_to_mercator(0.0, 0.0)
+        assert float(x) == pytest.approx(0.0, abs=1e-6)
+        x, y = lonlat_to_mercator(35.0, 32.0)
+        assert float(x) == pytest.approx(3896182.177503, abs=0.01)
+        assert float(y) == pytest.approx(3763310.627144, abs=0.01)
+
+    def test_mercator_roundtrip(self):
+        lon = np.linspace(-179, 179, 31)
+        lat = np.linspace(-84, 84, 31)
+        x, y = lonlat_to_mercator(lon, lat)
+        lon2, lat2 = mercator_to_lonlat(x, y)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_utm_known_points(self):
+        # CN Tower, the standard documented UTM example (zone 17N)
+        e, n = lonlat_to_utm(-79.387139, 43.642567, 17, True)
+        assert float(e) == pytest.approx(630084.3, abs=0.5)
+        assert float(n) == pytest.approx(4833438.6, abs=0.5)
+        # Central meridian identities: E=500000, N = k0 * meridian arc
+        e, n = lonlat_to_utm(33.0, 0.0, 36, True)
+        assert float(e) == pytest.approx(500000.0, abs=1e-6)
+        assert float(n) == pytest.approx(0.0, abs=1e-6)
+        e, n = lonlat_to_utm(33.0, 45.0, 36, True)
+        assert float(n) == pytest.approx(4984944.378 * 0.9996, abs=1e-3)
+
+    def test_utm_roundtrip(self):
+        lon = np.linspace(30.1, 35.9, 17)
+        lat = np.linspace(-40.0, 60.0, 17)
+        e, n = lonlat_to_utm(lon, lat, 36, True)
+        lon2, lat2 = utm_to_lonlat(e, n, 36, True)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_transform_points_hub(self):
+        e, n = lonlat_to_utm(35.0, 32.0, 36, True)
+        x, y = transform_points("EPSG:32636", "EPSG:3857", e, n)
+        lon, lat = mercator_to_lonlat(x, y)
+        assert float(lon) == pytest.approx(35.0, abs=1e-6)
+        assert float(lat) == pytest.approx(32.0, abs=1e-6)
+
+    def test_transform_bounds(self):
+        b = transform_bounds("EPSG:4326", "EPSG:3857", 35.0, 32.0, 35.05, 32.05)
+        assert b[0] < b[2] and b[1] < b[3]
+        assert b[0] == pytest.approx(3896182.18, abs=0.5)
+
+
+class TestGeoTiffCodec:
+    @pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32])
+    @pytest.mark.parametrize("compress", ["deflate", "none"])
+    def test_roundtrip(self, tmp_path, rng, dtype, compress):
+        if np.issubdtype(dtype, np.integer):
+            data = rng.integers(0, np.iinfo(dtype).max, (37, 53, 3)).astype(dtype)
+        else:
+            data = rng.random((37, 53, 3)).astype(dtype)
+        t = Affine.from_origin(35.0, 32.0, 0.001, 0.001)
+        src = GeoTiff(data, transform=t, crs=CRS(4326), nodata=0)
+        p = tmp_path / "x.tif"
+        write_geotiff(src, p, compress=compress)
+        back = read_geotiff(p)
+        np.testing.assert_array_equal(back.data, data)
+        assert back.crs == CRS(4326)
+        assert back.transform.a == pytest.approx(0.001)
+        assert back.transform.f == pytest.approx(32.0)
+        assert back.nodata == 0
+
+    def test_single_band(self, tmp_path, rng):
+        data = rng.integers(0, 255, (64, 64)).astype(np.uint8)
+        p = tmp_path / "one.tif"
+        write_geotiff(GeoTiff(data, crs=CRS(3857)), p)
+        back = read_geotiff(p)
+        assert back.count == 1
+        np.testing.assert_array_equal(back.data[:, :, 0], data)
+
+    def test_projected_crs_roundtrip(self, tmp_path):
+        data = np.zeros((8, 8, 1), np.uint8)
+        p = tmp_path / "utm.tif"
+        write_geotiff(GeoTiff(data, crs=CRS(32636)), p)
+        assert read_geotiff(p).crs == CRS(32636)
+
+    def test_cv2_can_read_our_tiff(self, tmp_path, rng):
+        """Cross-codec check: OpenCV's libtiff reads our output bytes."""
+        import cv2
+
+        data = rng.integers(0, 255, (40, 60, 3)).astype(np.uint8)
+        p = tmp_path / "interop.tif"
+        write_geotiff(GeoTiff(data), p)
+        img = cv2.imread(str(p), cv2.IMREAD_UNCHANGED)
+        assert img is not None
+        np.testing.assert_array_equal(img[:, :, ::-1], data)  # cv2 is BGR
+
+    def test_read_cv2_written_tiff(self, tmp_path, rng):
+        """And we read libtiff-produced files (external-file path)."""
+        import cv2
+
+        data = rng.integers(0, 255, (33, 47, 3)).astype(np.uint8)
+        p = tmp_path / "ext.tif"
+        cv2.imwrite(str(p), data[:, :, ::-1])
+        back = read_geotiff(p)
+        np.testing.assert_array_equal(back.data, data)
+
+
+class TestSynthetic:
+    def test_scene_deterministic(self, tmp_path):
+        a = synthetic_scene(seed=7, size=(128, 128))
+        b = synthetic_scene(seed=7, size=(128, 128))
+        np.testing.assert_array_equal(a.data, b.data)
+        c = synthetic_scene(seed=8, size=(128, 128))
+        assert not np.array_equal(a.data, c.data)
+
+    def test_scene_written_and_georeferenced(self, tmp_path):
+        p = tmp_path / "scene.tif"
+        synthetic_scene(path=p, size=(96, 96))
+        back = read_geotiff(p)
+        assert back.data.shape == (96, 96, 3)
+        assert back.crs == CRS(4326)
+        w, s, e, n = back.bounds
+        assert (w, s, e, n) == pytest.approx((35.0, 32.0, 35.05, 32.05))
+
+    def test_multiband_ndvi_contrast(self):
+        mb = synthetic_multiband(size=(128, 128))
+        red = mb.band(1).astype(np.float32)
+        nir = mb.band(2).astype(np.float32)
+        ndvi = (nir - red) / (nir + red + 1e-6)
+        assert ndvi.max() > 0.5          # vegetated parcels present
+        assert ndvi.min() < 0.3          # bare parcels present
+        assert (mb.band(3) == 9).any()   # cloud stripe present
