@@ -1,0 +1,137 @@
+"""Colorspace conversions matching OpenCV uint8 semantics, in JAX.
+
+The WOW/farm enhancement chains hinge on cv2's exact 8-bit conversions
+(``server/app/wow_sr.py:190-207``): RGB↔Lab (D65, sRGB gamma, L scaled
+to 0..255, a/b offset +128) and RGB↔HSV (H in 0..179). These run
+on-device as part of the fused enhancement chain; parity tests check
+≤1 LSB against cv2 (OpenCV's fixed-point tables round slightly
+differently in places).
+
+All functions take/return ``(..., 3)`` arrays; uint8 variants are
+suffixed ``_u8`` and operate on float32 internally.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# sRGB → XYZ (D65) matrix rows (OpenCV constants)
+_XYZ = (
+    (0.412453, 0.357580, 0.180423),
+    (0.212671, 0.715160, 0.072169),
+    (0.019334, 0.119193, 0.950227),
+)
+_XN = 0.950456
+_ZN = 1.088754
+_LAB_T = 0.008856
+_LAB_K = 7.787
+_LAB_OFF = 16.0 / 116.0
+
+
+def _srgb_to_linear(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+
+
+def _linear_to_srgb(x: jnp.ndarray) -> jnp.ndarray:
+    x = jnp.clip(x, 0.0, 1.0)
+    return jnp.where(x <= 0.0031308, x * 12.92,
+                     1.055 * x ** (1.0 / 2.4) - 0.055)
+
+
+def _lab_f(t: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(t > _LAB_T, jnp.cbrt(t), _LAB_K * t + _LAB_OFF)
+
+
+def _lab_f_inv(ft: jnp.ndarray) -> jnp.ndarray:
+    t3 = ft**3
+    return jnp.where(t3 > _LAB_T, t3, (ft - _LAB_OFF) / _LAB_K)
+
+
+def rgb_to_lab_u8(rgb: jnp.ndarray) -> jnp.ndarray:
+    """uint8 RGB → uint8 Lab (cv2.COLOR_RGB2LAB semantics)."""
+    x = rgb.astype(jnp.float32) / 255.0
+    lin = _srgb_to_linear(x)
+    r, g, b = lin[..., 0], lin[..., 1], lin[..., 2]
+    X = (_XYZ[0][0] * r + _XYZ[0][1] * g + _XYZ[0][2] * b) / _XN
+    Y = _XYZ[1][0] * r + _XYZ[1][1] * g + _XYZ[1][2] * b
+    Z = (_XYZ[2][0] * r + _XYZ[2][1] * g + _XYZ[2][2] * b) / _ZN
+    fx, fy, fz = _lab_f(X), _lab_f(Y), _lab_f(Z)
+    L = 116.0 * fy - 16.0
+    a = 500.0 * (fx - fy)
+    bb = 200.0 * (fy - fz)
+    out = jnp.stack([L * 255.0 / 100.0, a + 128.0, bb + 128.0], axis=-1)
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+
+
+def lab_to_rgb_u8(lab: jnp.ndarray) -> jnp.ndarray:
+    """uint8 Lab → uint8 RGB (cv2.COLOR_LAB2RGB semantics)."""
+    L = lab[..., 0].astype(jnp.float32) * 100.0 / 255.0
+    a = lab[..., 1].astype(jnp.float32) - 128.0
+    b = lab[..., 2].astype(jnp.float32) - 128.0
+    fy = (L + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+    X = _lab_f_inv(fx) * _XN
+    Y = _lab_f_inv(fy)
+    Z = _lab_f_inv(fz) * _ZN
+    r = 3.240479 * X - 1.537150 * Y - 0.498535 * Z
+    g = -0.969256 * X + 1.875992 * Y + 0.041556 * Z
+    bl = 0.055648 * X - 0.204043 * Y + 1.057311 * Z
+    rgb = _linear_to_srgb(jnp.stack([r, g, bl], axis=-1)) * 255.0
+    return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+
+
+_HSV_SHIFT = 12
+# cv2's fixed-point division tables: sdiv[v] = round((255 << 12) / v),
+# hdiv[d] = round((180 << 12) / (6·d)); entry 0 is 0.
+_SDIV = np.zeros(256, np.int32)
+_HDIV = np.zeros(256, np.int32)
+_SDIV[1:] = np.round((255 << _HSV_SHIFT) / np.arange(1, 256)).astype(np.int32)
+_HDIV[1:] = np.round((180 << _HSV_SHIFT) / (6.0 * np.arange(1, 256))).astype(np.int32)
+
+
+def rgb_to_hsv_u8(rgb: jnp.ndarray) -> jnp.ndarray:
+    """uint8 RGB → uint8 HSV with H in 0..179 — bit-exact cv2 fixed-point
+    algorithm (12-bit division tables, descale-with-rounding)."""
+    i = rgb.astype(jnp.int32)
+    r, g, b = i[..., 0], i[..., 1], i[..., 2]
+    v = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    diff = v - mn
+    half = 1 << (_HSV_SHIFT - 1)
+    sdiv = jnp.asarray(_SDIV)
+    hdiv = jnp.asarray(_HDIV)
+    s = (diff * sdiv[v] + half) >> _HSV_SHIFT
+    hnum = jnp.where(
+        v == r, g - b,
+        jnp.where(v == g, (b - r) + 2 * diff, (r - g) + 4 * diff),
+    )
+    h = (hnum * hdiv[diff] + half) >> _HSV_SHIFT
+    h = jnp.where(h < 0, h + 180, h)
+    out = jnp.stack([h, s, v], axis=-1)
+    return out.astype(jnp.uint8)
+
+
+def hsv_to_rgb_u8(hsv: jnp.ndarray) -> jnp.ndarray:
+    """uint8 HSV (H 0..179) → uint8 RGB (cv2.COLOR_HSV2RGB)."""
+    h = hsv[..., 0].astype(jnp.float32) * 2.0 / 60.0   # sector position 0..6
+    s = hsv[..., 1].astype(jnp.float32) / 255.0
+    v = hsv[..., 2].astype(jnp.float32)
+    sector = jnp.floor(h)
+    frac = h - sector
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * frac)
+    t = v * (1.0 - s * (1.0 - frac))
+    sector = sector.astype(jnp.int32) % 6
+    r = jnp.select([sector == 0, sector == 1, sector == 2,
+                    sector == 3, sector == 4, sector == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([sector == 0, sector == 1, sector == 2,
+                    sector == 3, sector == 4, sector == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([sector == 0, sector == 1, sector == 2,
+                    sector == 3, sector == 4, sector == 5],
+                   [p, p, t, v, v, q])
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)

@@ -1,0 +1,135 @@
+"""Parity of on-device image ops vs OpenCV (the reference's backend).
+
+cv2 is available in the test image, so every op is checked directly
+against the exact call the reference makes. Tolerances: colorspace and
+blur ops ≤1 LSB (cv2 uses fixed-point tables internally); full chains
+are additionally gated on PSNR.
+"""
+
+import cv2
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from s2sr_tpu.ops.blur import add_weighted_u8, gaussian_blur_u8
+from s2sr_tpu.ops.clahe import clahe_u8
+from s2sr_tpu.ops.color import (
+    hsv_to_rgb_u8,
+    lab_to_rgb_u8,
+    rgb_to_hsv_u8,
+    rgb_to_lab_u8,
+)
+from s2sr_tpu.ops.enhance import enhance_for_crops
+from s2sr_tpu.fetch.synthetic import synthetic_fields
+
+
+def max_diff(a, b):
+    return int(np.abs(np.asarray(a, np.int32) - np.asarray(b, np.int32)).max())
+
+
+def psnr(a, b):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+@pytest.fixture(scope="module")
+def img():
+    return synthetic_fields(size=(160, 200), seed=11)
+
+
+class TestColor:
+    def test_rgb_to_lab(self, img):
+        want = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+        got = np.asarray(rgb_to_lab_u8(jnp.asarray(img)))
+        assert max_diff(got, want) <= 1
+
+    def test_lab_to_rgb(self, img):
+        lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+        want = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+        got = np.asarray(lab_to_rgb_u8(jnp.asarray(lab)))
+        assert max_diff(got, want) <= 2  # two table roundings may stack
+
+    def test_rgb_to_hsv(self, img):
+        want = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+        got = np.asarray(rgb_to_hsv_u8(jnp.asarray(img)))
+        assert max_diff(got, want) <= 1
+
+    def test_hsv_to_rgb(self, img):
+        hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+        want = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+        got = np.asarray(hsv_to_rgb_u8(jnp.asarray(hsv)))
+        assert max_diff(got, want) <= 1
+
+    def test_full_range_hsv_roundtrip_exactness(self):
+        """All hue sectors / saturation extremes."""
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (64, 64, 3), np.uint8)
+        want = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
+        got = np.asarray(rgb_to_hsv_u8(jnp.asarray(img)))
+        assert max_diff(got, want) <= 1
+
+
+class TestBlur:
+    def test_gaussian_sigma12(self, img):
+        want = cv2.GaussianBlur(img, (0, 0), 1.2)
+        got = np.asarray(gaussian_blur_u8(jnp.asarray(img), 1.2))
+        assert max_diff(got, want) <= 1
+
+    def test_gaussian_sigma15(self, img):
+        want = cv2.GaussianBlur(img, (0, 0), 1.5)
+        got = np.asarray(gaussian_blur_u8(jnp.asarray(img), 1.5))
+        assert max_diff(got, want) <= 1
+
+    def test_add_weighted(self, img):
+        blur = cv2.GaussianBlur(img, (0, 0), 1.2)
+        want = cv2.addWeighted(img, 1.4, blur, -0.4, 0)
+        got = np.asarray(add_weighted_u8(jnp.asarray(img), 1.4,
+                                         jnp.asarray(blur), -0.4))
+        assert max_diff(got, want) <= 1
+
+
+class TestClahe:
+    @pytest.mark.parametrize("clip", [2.0, 2.5, 3.0, 40.0])
+    def test_matches_cv2(self, img, clip):
+        l_chan = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)[:, :, 0]
+        want = cv2.createCLAHE(clipLimit=clip, tileGridSize=(8, 8)).apply(l_chan)
+        got = np.asarray(clahe_u8(jnp.asarray(l_chan), clip, 8, 8))
+        assert max_diff(got, want) <= 1
+        # and nearly everywhere exact
+        frac_exact = np.mean(got == want)
+        assert frac_exact > 0.99
+
+    def test_non_divisible_size(self):
+        rng = np.random.default_rng(3)
+        l_chan = rng.integers(0, 256, (131, 77), np.uint8)
+        want = cv2.createCLAHE(clipLimit=2.5, tileGridSize=(8, 8)).apply(l_chan)
+        got = np.asarray(clahe_u8(jnp.asarray(l_chan), 2.5, 8, 8))
+        assert max_diff(got, want) <= 1
+
+
+class TestFullChain:
+    def test_wow_chain_psnr(self, img):
+        """The whole fused WOW chain vs the reference cv2 sequence."""
+        # cv2 oracle == reference _enhance_for_crops (wow_sr.py:187-209)
+        lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+        clahe = cv2.createCLAHE(clipLimit=2.5, tileGridSize=(8, 8))
+        lab[:, :, 0] = clahe.apply(lab[:, :, 0])
+        enhanced = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+        blurred = cv2.GaussianBlur(enhanced, (0, 0), 1.2)
+        sharpened = cv2.addWeighted(enhanced, 1.4, blurred, -0.4, 0)
+        hsv = cv2.cvtColor(sharpened, cv2.COLOR_RGB2HSV).astype(np.float32)
+        green = ((hsv[:, :, 0] > 35) & (hsv[:, :, 0] < 85)).astype(np.float32)
+        hsv[:, :, 1] = np.where(green > 0,
+                                np.clip(hsv[:, :, 1] * 1.2, 0, 255),
+                                hsv[:, :, 1])
+        want = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+        want = np.clip(want, 0, 255).astype(np.uint8)
+
+        got = np.asarray(enhance_for_crops(jnp.asarray(img)))
+        # Known deviation source: cv2's 8U Lab uses fixed-point tables;
+        # our float Lab is ±1 LSB, which CLAHE's contrast slope (≤ clip
+        # limit) can amplify to a few levels on <1% of pixels. RGB2HSV is
+        # bit-exact. 42+ dB ≈ visually identical.
+        assert psnr(got, want) > 42.0
+        assert max_diff(got, want) <= 20
