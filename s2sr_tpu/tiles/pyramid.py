@@ -1,0 +1,123 @@
+"""XYZ tile-pyramid generation with device-side warping.
+
+Replaces ``gdal2tiles.py --xyz --tilesize 256 --resampling average
+--processes 4`` (``server/app/tiling.py:138-186``):
+
+- base (max) zoom: every intersecting tile is produced by the batched
+  inverse-mapping bilinear warp straight from the source raster on
+  device (no intermediate mercator mosaic — each 256² tile is an
+  independent gather, so arbitrarily large AOIs stream through HBM),
+- lower zooms: 2×2 alpha-weighted averaging of child tiles (the
+  ``average`` resampler), pure array math,
+- output: ``{out}/{z}/{x}/{y}.png`` RGBA, XYZ addressing.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..geo.affine import Affine
+from ..geo.crs import CRS, transform_bounds
+from ..geo.geotiff import GeoTiff
+from ..geo.warp import control_grid, warp_bilinear_batch
+from ..utils import ensure_directory, setup_logging
+from .mercator import TILE_SIZE, resolution, tile_bounds, tiles_for_bounds
+from .png import encode_png
+
+logger = setup_logging("s2sr_tpu.tiles")
+
+TileKey = Tuple[int, int]
+TileStore = Dict[TileKey, np.ndarray]  # (256, 256, 4) uint8 RGBA
+
+
+def _base_zoom_tiles(
+    raster: GeoTiff,
+    zoom: int,
+    tile_size: int = TILE_SIZE,
+    batch: int = 32,
+    grid: int = 17,
+) -> TileStore:
+    """Warp source → all intersecting XYZ tiles at *zoom* (device batched)."""
+    assert raster.crs is not None
+    w, s, e, n = raster.bounds
+    bounds_3857 = transform_bounds(raster.crs, CRS(3857), w, s, e, n)
+    keys = list(tiles_for_bounds(bounds_3857, zoom))
+    res = resolution(zoom, tile_size)
+
+    src = jnp.asarray(raster.data[:, :, :3].astype(np.float32))
+    store: TileStore = {}
+    for i in range(0, len(keys), batch):
+        chunk = keys[i:i + batch]
+        ctrls = np.stack([
+            control_grid(
+                Affine.from_origin(tile_bounds(zoom, x, y)[0],
+                                   tile_bounds(zoom, x, y)[3], res, res),
+                CRS(3857), raster.transform, raster.crs,
+                tile_size, tile_size, grid=grid,
+            )
+            for x, y in chunk
+        ])
+        rgb, alpha = warp_bilinear_batch(src, jnp.asarray(ctrls),
+                                         tile_size, tile_size)
+        rgb = np.clip(np.round(np.asarray(rgb)), 0, 255).astype(np.uint8)
+        alpha_u8 = (np.asarray(alpha) * 255).astype(np.uint8)
+        for j, key in enumerate(chunk):
+            tile = np.concatenate([rgb[j], alpha_u8[j][..., None]], axis=-1)
+            if tile[..., 3].any():
+                store[key] = tile
+    return store
+
+
+def _downsample_level(children: TileStore, tile_size: int = TILE_SIZE) -> TileStore:
+    """Parent zoom level from children: 2×2 alpha-weighted average."""
+    parents: TileStore = {}
+    half = tile_size // 2
+    for (cx, cy), child in children.items():
+        px, py = cx // 2, cy // 2
+        if (px, py) not in parents:
+            parents[(px, py)] = np.zeros((tile_size, tile_size, 4), np.uint8)
+        # 2×2 alpha-weighted block mean
+        c = child.astype(np.float32)
+        a = c[..., 3:4] / 255.0
+        wsum = a.reshape(half, 2, half, 2, 1).sum(axis=(1, 3))
+        csum = (c[..., :3] * a).reshape(half, 2, half, 2, 3).sum(axis=(1, 3))
+        rgb = np.where(wsum > 0, csum / np.maximum(wsum, 1e-6), 0.0)
+        alpha = wsum / 4.0 * 255.0
+        quad = np.concatenate(
+            [np.clip(np.round(rgb), 0, 255),
+             np.clip(np.round(alpha), 0, 255)], axis=-1).astype(np.uint8)
+        oy = (cy % 2) * half
+        ox = (cx % 2) * half
+        parents[(px, py)][oy:oy + half, ox:ox + half] = quad
+    return parents
+
+
+def generate_xyz_tiles(
+    raster: GeoTiff,
+    output_dir: Path | str,
+    min_zoom: int = 10,
+    max_zoom: int = 16,
+    tile_size: int = TILE_SIZE,
+    batch: int = 32,
+    png_level: int = 3,
+) -> Path:
+    """Full pyramid → ``{z}/{x}/{y}.png`` tree under *output_dir*."""
+    output_dir = ensure_directory(output_dir)
+    logger.info("Generating XYZ tiles: zoom %d-%d", min_zoom, max_zoom)
+    level = _base_zoom_tiles(raster, max_zoom, tile_size, batch)
+    count = 0
+    for z in range(max_zoom, min_zoom - 1, -1):
+        for (x, y), tile in level.items():
+            tile_path = output_dir / str(z) / str(x) / f"{y}.png"
+            tile_path.parent.mkdir(parents=True, exist_ok=True)
+            tile_path.write_bytes(encode_png(tile, level=png_level))
+            count += 1
+        if z > min_zoom:
+            level = _downsample_level(level, tile_size)
+    logger.info("Tile generation complete: %d tiles → %s", count, output_dir)
+    return output_dir
