@@ -1,0 +1,60 @@
+"""Benchmark: x4 SR throughput (input MPix/s per chip) on real hardware.
+
+Runs the flagship Real-ESRGAN x4 architecture (RRDBNet, 23 blocks,
+identical FLOPs to the released weights) through the batched halo-tiling
+engine on a 1024×1024 uint8 RGB input — the exact workload of the
+reference's hot loop (``server/app/cnn_super_resolution.py:236-280``),
+which it runs at ≈0.007 MPix/s on its deployed CPU (BASELINE.md:
+576×432 in ≈36 s).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_MPIX_S = 0.007  # reference CPU observed rate (BASELINE.md)
+
+
+def main() -> None:
+    from s2sr_tpu.models.engine import SREngine
+    from s2sr_tpu.fetch.synthetic import synthetic_fields
+
+    size = 1024
+    img = synthetic_fields(size=(size, size), seed=0)
+
+    engine = SREngine(
+        "realesrgan_x4", weights_dir="models", tile_size=256, tile_pad=10,
+        batch_size=16, dtype="bfloat16",
+    )
+
+    x = jnp.asarray(img)
+    # warmup/compile
+    out = engine.enhance_device(x)
+    out.block_until_ready()
+
+    runs = 5
+    t0 = time.perf_counter()
+    for _ in range(runs):
+        out = engine.enhance_device(x)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    mpix_s = size * size * runs / dt / 1e6
+    print(json.dumps({
+        "metric": "x4 SR input throughput (RRDBNet-23, bf16, halo-tiled)",
+        "value": round(mpix_s, 3),
+        "unit": "MPix/s/chip",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 1),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

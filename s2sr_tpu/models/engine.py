@@ -1,0 +1,132 @@
+"""SR inference engine: the TPU-native counterpart of the reference's
+``RealESRGAN`` wrapper (``server/app/cnn_super_resolution.py:161-280``).
+
+Contract preserved exactly:
+- input uint8 (H, W, 3), output uint8 (4H, 4W, 3),
+- ``/255`` normalisation in, ``*255 → clip → uint8`` *truncation* out
+  (``:218-234`` — note astype, not round),
+- halo tiling engages when ``H·W > tile²·4`` (``:226``),
+- the reference feeds **BGR** channel order into the network
+  (``wow_sr.py:85,94,103``) — reproduced via channel flip so converted
+  official weights produce identical pixels.
+
+TPU-first: the model is jit-compiled once per window shape; tiled images
+run through the batched halo engine (:mod:`s2sr_tpu.parallel.tiling`)
+in bf16, optionally sharded over a device mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel.tiling import tiled_apply
+from ..utils import setup_logging
+from .registry import get_model_config
+from .rrdbnet import rrdbnet_apply
+from .weights import resolve_params
+
+logger = setup_logging("s2sr_tpu.engine")
+
+
+class SREngine:
+    """Loaded, jit-ready super-resolution model."""
+
+    def __init__(
+        self,
+        model_name: str = "realesrgan_x4",
+        weights_dir: Path | str = "models",
+        tile_size: int = 256,
+        tile_pad: int = 10,
+        batch_size: int = 16,
+        dtype: str = "bfloat16",
+        bgr_order: bool = True,
+        mesh=None,
+    ):
+        config = get_model_config(model_name)
+        if config["family"] != "rrdbnet":
+            raise ValueError(f"SREngine currently drives rrdbnet models, got {model_name}")
+        self.model_name = model_name
+        self.scale = config["scale"]
+        self.tile_size = tile_size
+        self.tile_pad = tile_pad
+        self.batch_size = batch_size
+        self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self.bgr_order = bgr_order
+        self.mesh = mesh
+        self.params, self.pretrained = resolve_params(model_name, weights_dir)
+        if not self.pretrained:
+            logger.warning(
+                "%s: no converted weights in %s — using random init "
+                "(offline environment); drop the released .pth there for "
+                "real quality", model_name, weights_dir,
+            )
+        scale, dtype_ = self.scale, self.dtype
+
+        @jax.jit
+        def batch_fn(params, batch):
+            return rrdbnet_apply(params, batch, scale=scale, dtype=dtype_)
+
+        self._batch_fn = batch_fn
+
+        # Whole image→image computation as ONE jit per input shape:
+        # normalisation, channel flip, halo tiling, stitch and uint8
+        # quantisation all fuse into a single executable — critical when
+        # the device sits behind a per-dispatch RPC tunnel, and avoids
+        # every intermediate round-tripping HBM.
+        tile, pad, batch_size, bgr = tile_size, tile_pad, batch_size, bgr_order
+        mesh_ = mesh
+
+        @jax.jit
+        def enhance_fn(params, img_u8):
+            x = img_u8.astype(jnp.float32) / 255.0
+            if bgr:
+                x = x[:, :, ::-1]
+            h, w, _ = x.shape
+
+            def model(b):
+                return rrdbnet_apply(params, b, scale=scale, dtype=dtype_)
+
+            if h * w > tile * tile * 4:
+                out = tiled_apply(model, x, tile=tile, pad=pad, scale=scale,
+                                  batch_size=batch_size, mesh=mesh_)
+            else:
+                out = model(x[None])[0]
+            if bgr:
+                out = out[:, :, ::-1]
+            # reference: (out*255).clip(0,255).astype(uint8) — truncation
+            return jnp.trunc(jnp.clip(out * 255.0, 0.0, 255.0)).astype(jnp.uint8)
+
+        self._enhance_fn = enhance_fn
+
+    def model_fn(self, batch: jnp.ndarray) -> jnp.ndarray:
+        return self._batch_fn(self.params, batch)
+
+    def enhance_device(self, img: jnp.ndarray) -> jnp.ndarray:
+        """uint8 (H, W, 3) on device → uint8 (sH, sW, 3) on device."""
+        return self._enhance_fn(self.params, img)
+
+    def enhance(self, img: np.ndarray) -> np.ndarray:
+        """Host-array convenience wrapper (the reference ``enhance`` API)."""
+        return np.asarray(jax.device_get(self.enhance_device(jnp.asarray(img))))
+
+
+_ENGINE_CACHE: dict = {}
+
+
+def get_engine(model_name: str = "realesrgan_x4", **kwargs) -> SREngine:
+    """Process-wide engine cache.
+
+    The reference constructs + destroys the model per job
+    (``wow_sr.py:93-97``), reloading weights every request; here the
+    compiled model and its params stay resident on device.
+    """
+    key = (model_name, tuple(sorted(kwargs.items())))
+    if key not in _ENGINE_CACHE:
+        _ENGINE_CACHE[key] = SREngine(model_name, **kwargs)
+    return _ENGINE_CACHE[key]

@@ -1,0 +1,715 @@
+"""The HTTP API application — route-for-route with the reference server.
+
+Every route, request model, job-status field and message format from
+``server/app/main.py`` is preserved (clients regex-parse ``Stage i/n``
+from messages and poll the status dicts verbatim — ``esrgan.service.ts:147``).
+Differences are architectural: jobs run on a lock-guarded store + a
+device-owning FIFO worker (:mod:`s2sr_tpu.server.jobs`) instead of
+unlocked dicts and daemon-thread chains.
+
+Routes (reference line references in handlers):
+  /health /api/config /api/metadata /tiles* /api/sr /api/wow
+  /api/enhance /api/vectors* /vectors/* /api/pipeline* /api/sr/download
+  + SPA fallback.
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+from pathlib import Path
+from typing import Optional
+
+from pydantic import BaseModel, ValidationError
+
+from ..config import Settings, get_settings
+from ..utils import find_latest_metadata, read_json, setup_logging
+from .http import (
+    App,
+    BackgroundTasks,
+    HTTPException,
+    Request,
+    Response,
+    file_response,
+    json_response,
+)
+from .jobs import JobRunner, JobStore
+
+logger = setup_logging("s2sr_tpu.server")
+
+TILE_HEADERS = {
+    "Cache-Control": "public, max-age=86400",
+    "Access-Control-Allow-Origin": "*",
+}
+GEOJSON_HEADERS = {
+    "Cache-Control": "public, max-age=3600",
+    "Access-Control-Allow-Origin": "*",
+}
+
+
+# --- request models (main.py:192-227,702-710) -------------------------
+
+class SRRequest(BaseModel):
+    input_file: Optional[str] = None
+    scale: int = 4
+    model: str = "edsr"
+
+
+class WowRequest(BaseModel):
+    input_file: Optional[str] = None
+    enhance_crops: bool = True
+    auto_fetch: bool = True
+    max_age_days: int = 30
+    max_cloud_cover: float = 30.0
+    force_fetch: bool = False
+
+
+class PipelineRequest(BaseModel):
+    max_age_days: int = 30
+    max_cloud_cover: float = 30.0
+    force_fetch: bool = False
+    generate_original_tiles: bool = True
+    min_zoom: int = 10
+    max_zoom: int = 16
+    run_sr: bool = True
+    sr_type: str = "wow"
+    enhance_crops: bool = True
+
+
+class VectorRequest(BaseModel):
+    aoi_path: Optional[str] = None
+    raster_path: Optional[str] = None
+    ndvi_threshold: float = 0.3
+    min_area_ha: float = 0.1
+    max_area_ha: float = 500.0
+    simplify_tolerance_m: float = 5.0
+
+
+def _validate(model_cls, request: Request):
+    try:
+        return model_cls(**(request.json() or {}))
+    except ValidationError as exc:
+        raise HTTPException(422, str(exc))
+
+
+def create_app(settings: Optional[Settings] = None,
+               static_dir: Optional[Path] = None):
+    settings = settings or get_settings()
+    app = App(title="Sentinel-2 Super-Resolution (TPU)", version="2.0.0")
+
+    data_dir = Path(settings.data_dir)
+    tiles_dir = data_dir / "tiles"
+    source_dir = data_dir / "source"
+    vectors_dir = data_dir / "vectors"
+    static_dir = static_dir or Path("static")
+
+    jobs = JobStore()
+    runner = JobRunner(jobs, max_concurrent=settings.max_concurrent_enhance)
+    app.jobs = jobs          # exposed for tests / introspection
+    app.runner = runner
+    app.settings = settings
+
+    # ------------------------------------------------------------------
+    # basics (main.py:73-155)
+    # ------------------------------------------------------------------
+
+    @app.get("/health")
+    async def health_check():
+        return {"status": "healthy", "service": "up42-sentinel-poc"}
+
+    @app.get("/api/config")
+    async def get_config():
+        return {
+            "mapboxAccessToken": settings.mapbox_access_token,
+            "tileMinZoom": settings.tile_min_zoom,
+            "tileMaxZoom": settings.tile_max_zoom,
+            "defaultCenter": [-121.487, 36.836],
+            "defaultZoom": 12,
+        }
+
+    @app.get("/api/metadata")
+    async def get_metadata():
+        result: dict = {}
+        tileset_path = tiles_dir / "tileset.json"
+        result["tileset"] = read_json(tileset_path) if tileset_path.exists() else None
+        result["source"] = find_latest_metadata(source_dir)
+        result["tilesAvailable"] = (
+            tileset_path.exists() and any(tiles_dir.glob("*/*/*.png"))
+            if tiles_dir.exists() else False
+        )
+        sr_tiles = data_dir / "tiles_sr"
+        result["srTilesAvailable"] = sr_tiles.exists() and any(sr_tiles.glob("*/*/*.png"))
+        wow_tiles = data_dir / "tiles_wow"
+        result["wowTilesAvailable"] = wow_tiles.exists() and any(wow_tiles.glob("*/*/*.png"))
+        result["tileEndpoints"] = {
+            "original": "/tiles/{z}/{x}/{y}.png",
+            "sr": "/tiles_sr/{z}/{x}/{y}.png",
+            "wow": "/tiles_wow/{z}/{x}/{y}.png",
+        }
+        fields_path = vectors_dir / "fields.geojson"
+        zones_path = vectors_dir / "zones.geojson"
+        result["vectorsAvailable"] = fields_path.exists()
+        result["zonesAvailable"] = zones_path.exists()
+        if result["vectorsAvailable"]:
+            result["vectorEndpoints"] = {"fields": "/vectors/fields.geojson"}
+            if result["zonesAvailable"]:
+                result["vectorEndpoints"]["zones"] = "/vectors/zones.geojson"
+        return result
+
+    def _serve_tile(base: Path, z: int, x: int, y: int, kind: str) -> Response:
+        tile_path = base / str(z) / str(x) / f"{y}.png"
+        if not tile_path.exists():
+            raise HTTPException(404, f"{kind} not found")
+        return file_response(tile_path, media_type="image/png",
+                             headers=TILE_HEADERS)
+
+    @app.get("/tiles/{z}/{x}/{y}.png")
+    async def get_tile(z: int, x: int, y: int):
+        return _serve_tile(tiles_dir, z, x, y, "Tile")
+
+    @app.get("/tiles_sr/{z}/{x}/{y}.png")
+    async def get_sr_tile(z: int, x: int, y: int):
+        return _serve_tile(data_dir / "tiles_sr", z, x, y, "SR tile")
+
+    @app.get("/tiles_wow/{z}/{x}/{y}.png")
+    async def get_wow_tile(z: int, x: int, y: int):
+        return _serve_tile(data_dir / "tiles_wow", z, x, y, "WOW tile")
+
+    # ------------------------------------------------------------------
+    # job bodies (main.py:247-368)
+    # ------------------------------------------------------------------
+
+    def run_sr_job(job_id: str, input_file: Path, scale: int, model: str,
+                   output_dir: Path) -> None:
+        try:
+            jobs.update(job_id, status="processing",
+                        message=f"Applying {model.upper()} x{scale} super-resolution...")
+            from ..pipelines.farm_sr import process_farm_sr
+
+            result = process_farm_sr(
+                input_tif=input_file, output_dir=output_dir, scale=scale,
+                weights_dir=settings.weights_dir,
+            )
+            jobs.update(job_id, status="tiling",
+                        message="Generating tiles from SR image...")
+            sr_tif = result["outputs"].get("sr_tif")
+            if sr_tif and Path(sr_tif).exists():
+                from ..tiles import process_raster_to_tiles
+
+                sr_tiles_dir = data_dir / "tiles_sr"
+                process_raster_to_tiles(
+                    input_path=Path(sr_tif), tiles_dir=sr_tiles_dir,
+                    min_zoom=settings.tile_min_zoom,
+                    max_zoom=min(settings.tile_max_zoom + 2, 20),
+                )
+                result["tiles_dir"] = str(sr_tiles_dir)
+            jobs.update(job_id, status="completed",
+                        message="Super-resolution complete!", result=result)
+        except Exception as exc:
+            logger.error("SR job %s failed: %s", job_id, exc)
+            jobs.update(job_id, status="failed", message=str(exc))
+
+    def run_wow_job(job_id: str, input_file: Optional[Path], output_dir: Path,
+                    enhance_crops: bool, auto_fetch: bool = True,
+                    max_age_days: int = 30, max_cloud_cover: float = 30.0,
+                    force_fetch: bool = False,
+                    model: str = "realesrgan_x4") -> None:
+        try:
+            if input_file is None and auto_fetch:
+                jobs.update(job_id, status="fetching",
+                            message=f"🔍 Finding best image (last {max_age_days} "
+                                    f"days, cloud ≤{max_cloud_cover}%)...")
+                from ..fetch.smart_fetch import ensure_best_image
+
+                input_file, fetch_metadata = ensure_best_image(
+                    source_dir=source_dir, max_age_days=max_age_days,
+                    max_cloud_cover=max_cloud_cover, force_fetch=force_fetch,
+                )
+                jobs.update(
+                    job_id, input_file=str(input_file),
+                    fetch_metadata=fetch_metadata,
+                    message=f"✅ Using: {input_file.name} "
+                            f"(cloud: {fetch_metadata.get('cloud_cover_pct', 'N/A')}%)")
+
+            from ..pipelines.wow_sr import MODEL_DISPLAY, process_wow_sr
+
+            model_display = MODEL_DISPLAY.get(model, model)
+            jobs.update(job_id, status="processing",
+                        message=f"Stage 1/2: {model_display} (GAN upscaling)...")
+            result = process_wow_sr(
+                input_tif=input_file, output_dir=output_dir,
+                enhance_crops=enhance_crops, model=model,
+                weights_dir=settings.weights_dir,
+            )
+            jobs.update(job_id, status="tiling",
+                        message="Generating tiles from WOW SR image...")
+            sr_tif = result["outputs"].get("sr_tif")
+            if sr_tif and Path(sr_tif).exists():
+                from ..tiles import process_raster_to_tiles
+
+                wow_tiles_dir = data_dir / "tiles_wow"
+                process_raster_to_tiles(
+                    input_path=Path(sr_tif), tiles_dir=wow_tiles_dir,
+                    min_zoom=settings.tile_min_zoom,
+                    max_zoom=min(settings.tile_max_zoom + 2, 20),
+                )
+                result["tiles_dir"] = str(wow_tiles_dir)
+            jobs.update(job_id, status="completed",
+                        message="WOW Super-resolution complete! 🌟",
+                        result=result)
+        except Exception as exc:
+            logger.error("WOW job %s failed: %s", job_id, exc)
+            jobs.update(job_id, status="failed", message=str(exc))
+
+    # ------------------------------------------------------------------
+    # SR routes (main.py:371-454)
+    # ------------------------------------------------------------------
+
+    @app.post("/api/sr")
+    async def start_super_resolution(request: Request,
+                                     background_tasks: BackgroundTasks):
+        body = _validate(SRRequest, request)
+        if body.input_file:
+            input_file = Path(body.input_file)
+        else:
+            tifs = sorted(source_dir.glob("*.tif"),
+                          key=lambda x: x.stat().st_mtime, reverse=True)
+            if not tifs:
+                raise HTTPException(404, "No GeoTIFF files found. Run fetch first.")
+            input_file = tifs[0]
+        if not input_file.exists():
+            raise HTTPException(404, f"Input file not found: {input_file}")
+        if body.scale not in (2, 3, 4):
+            raise HTTPException(400, "Scale must be 2, 3, or 4")
+        if body.model not in ("edsr", "espcn", "lapsrn"):
+            raise HTTPException(400, "Model must be edsr, espcn, or lapsrn")
+
+        job_id = datetime.now().strftime("%Y%m%d_%H%M%S")
+        output_dir = data_dir / "sr" / job_id
+        output_dir.mkdir(parents=True, exist_ok=True)
+        jobs.create(job_id, status="queued", message="Job queued",
+                    input_file=str(input_file), scale=body.scale,
+                    model=body.model, output_dir=str(output_dir))
+        background_tasks.add_task(
+            runner.submit, job_id,
+            lambda: run_sr_job(job_id, input_file, body.scale, body.model,
+                               output_dir))
+        return {"job_id": job_id, "status": "queued",
+                "message": f"SR job started: {input_file.name} → x{body.scale}"}
+
+    @app.get("/api/sr/download/{job_id}/{filename}")
+    async def download_sr_file(job_id: str, filename: str):
+        job = jobs.get(job_id)
+        if job is None:
+            raise HTTPException(404, "Job not found")
+        file_path = Path(job["output_dir"]) / filename
+        if not file_path.exists():
+            raise HTTPException(404, "File not found")
+        return file_response(file_path)
+
+    @app.get("/api/sr/{job_id}")
+    async def get_sr_status(job_id: str):
+        job = jobs.get(job_id)
+        if job is None:
+            raise HTTPException(404, "Job not found")
+        return job
+
+    @app.get("/api/sr")
+    async def list_sr_jobs():
+        return {"jobs": jobs.all()}
+
+    # ------------------------------------------------------------------
+    # WOW + enhance (main.py:457-675)
+    # ------------------------------------------------------------------
+
+    @app.post("/api/wow")
+    async def start_wow_sr(request: Request, background_tasks: BackgroundTasks):
+        body = _validate(WowRequest, request)
+        input_file: Optional[Path] = None
+        if body.input_file:
+            input_file = Path(body.input_file)
+            if not input_file.exists():
+                raise HTTPException(404, f"Input file not found: {input_file}")
+        elif not body.auto_fetch:
+            tifs = sorted(source_dir.glob("*.tif"),
+                          key=lambda x: x.stat().st_mtime, reverse=True)
+            if not tifs:
+                raise HTTPException(
+                    404, "No GeoTIFF files found. Enable auto_fetch=true or "
+                         "run fetch first.")
+            input_file = tifs[0]
+
+        job_id = f"wow_{datetime.now().strftime('%Y%m%d_%H%M%S')}"
+        output_dir = data_dir / "wow" / job_id
+        output_dir.mkdir(parents=True, exist_ok=True)
+        jobs.create(
+            job_id, status="queued",
+            message="WOW job queued (Real-ESRGAN x4 + Enhanced)",
+            input_file=str(input_file) if input_file else "auto_fetch",
+            pipeline="RealESRGAN_x4 + Enhanced", scale=4,
+            enhance_crops=body.enhance_crops, auto_fetch=body.auto_fetch,
+            max_age_days=body.max_age_days,
+            max_cloud_cover=body.max_cloud_cover,
+            output_dir=str(output_dir))
+        background_tasks.add_task(
+            runner.submit, job_id,
+            lambda: run_wow_job(job_id, input_file, output_dir,
+                                body.enhance_crops, body.auto_fetch,
+                                body.max_age_days, body.max_cloud_cover,
+                                body.force_fetch))
+        if input_file:
+            msg = f"🌟 WOW SR started: {input_file.name} → Real-ESRGAN x4 + Enhanced"
+        else:
+            msg = (f"🌟 WOW SR started: auto-fetching best image "
+                   f"(last {body.max_age_days}d, cloud ≤{body.max_cloud_cover}%)")
+        return {"job_id": job_id, "status": "queued", "message": msg}
+
+    @app.post("/api/enhance")
+    async def enhance_image_upload(request: Request,
+                                   background_tasks: BackgroundTasks):
+        fields, files = request.multipart()
+        model = fields.get("model", "realesrgan_x4")
+        valid_models = ["realesrgan_x4", "realesrgan_anime"]
+        if model not in valid_models:
+            raise HTTPException(400, f"Invalid model. Choose from: {valid_models}")
+        if "image" not in files:
+            raise HTTPException(400, "missing 'image' upload field")
+        upload = files["image"]
+        if len(upload.content) > settings.max_upload_bytes:
+            raise HTTPException(
+                413, f"Upload exceeds maximum allowed size of "
+                     f"{settings.max_upload_bytes // (1024 * 1024)} MB")
+
+        job_id = f"wow_{datetime.now().strftime('%Y%m%d_%H%M%S')}"
+        output_dir = data_dir / "wow" / job_id
+        upload_dir = data_dir / "uploads" / job_id
+        output_dir.mkdir(parents=True, exist_ok=True)
+        upload_dir.mkdir(parents=True, exist_ok=True)
+        uploaded_path = upload_dir / (upload.filename or "upload")
+        uploaded_path.write_bytes(upload.content)
+
+        has_capacity = runner.has_capacity()
+        status = "processing" if has_capacity else "queued"
+        message = ("Enhancement starting" if has_capacity
+                   else "Queued due to concurrency limits")
+        jobs.create(job_id, status=status, message=message,
+                    input_file=str(uploaded_path), output_dir=str(output_dir),
+                    model=model)
+        background_tasks.add_task(
+            runner.submit, job_id,
+            lambda: run_wow_job(job_id, uploaded_path, output_dir, True,
+                                auto_fetch=False, model=model))
+        return {"job_id": job_id, "status": status, "message": message,
+                "model": model}
+
+    # ------------------------------------------------------------------
+    # vectors (main.py:702-950)
+    # ------------------------------------------------------------------
+
+    def run_vector_extraction_job(job_id: str, aoi_path: Path,
+                                  raster_paths: list, config_dict: dict) -> None:
+        try:
+            jobs.update(job_id, status="processing",
+                        message="Extracting field boundaries...")
+            from ..vectors.extraction import ExtractionConfig, extract_field_polygons
+
+            config = ExtractionConfig(
+                ndvi_threshold=config_dict.get("ndvi_threshold", 0.3),
+                min_area_ha=config_dict.get("min_area_ha", 0.1),
+                max_area_ha=config_dict.get("max_area_ha", 500.0),
+                simplify_tolerance_m=config_dict.get("simplify_tolerance_m", 5.0),
+            )
+            result = extract_field_polygons(
+                aoi_geojson=aoi_path, raster_paths=raster_paths,
+                out_dir=vectors_dir, config=config,
+            )
+            jobs.update(
+                job_id, status="completed",
+                message=f"Extracted {result['feature_count']} field polygons",
+                result={
+                    "feature_count": result["feature_count"],
+                    "output_path": result["output_path"],
+                    "source_method": result["source_method"],
+                })
+        except Exception as exc:
+            logger.error("Vector extraction job %s failed: %s", job_id, exc)
+            jobs.update(job_id, status="failed", message=str(exc))
+
+    @app.get("/vectors/fields.geojson")
+    async def get_fields_geojson():
+        fields_path = vectors_dir / "fields.geojson"
+        if not fields_path.exists():
+            raise HTTPException(
+                404, "Field vectors not found. Run vector extraction first: "
+                     "make vectors")
+        return json_response(read_json(fields_path), headers={
+            **GEOJSON_HEADERS, "Content-Type": "application/geo+json"})
+
+    @app.get("/vectors/zones.geojson")
+    async def get_zones_geojson():
+        zones_path = vectors_dir / "zones.geojson"
+        if not zones_path.exists():
+            raise HTTPException(
+                404, "Management zones not found. Run v2 vector extraction "
+                     "with --zones")
+        return json_response(read_json(zones_path), headers={
+            **GEOJSON_HEADERS, "Content-Type": "application/geo+json"})
+
+    @app.get("/api/vectors/metadata")
+    async def get_vectors_metadata():
+        fields_path = vectors_dir / "fields.geojson"
+        metadata_path = vectors_dir / "extraction_metadata.json"
+        result = {
+            "vectorsAvailable": fields_path.exists(),
+            "endpoint": "/vectors/fields.geojson",
+        }
+        if metadata_path.exists():
+            result["metadata"] = read_json(metadata_path)
+        if fields_path.exists():
+            try:
+                geojson = read_json(fields_path)
+                result["featureCount"] = len(geojson.get("features", []))
+                result["properties"] = geojson.get("properties", {})
+            except Exception as exc:
+                logger.warning("Failed to read fields.geojson: %s", exc)
+        return result
+
+    @app.post("/api/vectors")
+    async def start_vector_extraction(request: Request,
+                                      background_tasks: BackgroundTasks):
+        body = _validate(VectorRequest, request)
+        if body.aoi_path:
+            aoi_path = Path(body.aoi_path)
+        else:
+            aoi_path = Path(settings.aoi_path)
+        if not aoi_path.exists():
+            raise HTTPException(404, f"AOI file not found: {aoi_path}")
+
+        raster_paths: list = []
+        if body.raster_path:
+            raster_paths.append(Path(body.raster_path))
+        else:
+            for search_dir in (data_dir / "wow", data_dir / "sr", source_dir):
+                if search_dir.exists():
+                    tifs = sorted(search_dir.rglob("*.tif"),
+                                  key=lambda x: x.stat().st_mtime, reverse=True)
+                    if tifs:
+                        raster_paths.append(tifs[0])
+                        break
+        if not raster_paths:
+            raise HTTPException(
+                404, "No raster files found. Run the pipeline or specify "
+                     "raster_path.")
+
+        job_id = f"vectors_{datetime.now().strftime('%Y%m%d_%H%M%S')}"
+        config = {
+            "ndvi_threshold": body.ndvi_threshold,
+            "min_area_ha": body.min_area_ha,
+            "max_area_ha": body.max_area_ha,
+            "simplify_tolerance_m": body.simplify_tolerance_m,
+        }
+        jobs.create(job_id, status="queued",
+                    message="Vector extraction queued",
+                    aoi_path=str(aoi_path),
+                    raster_paths=[str(p) for p in raster_paths],
+                    config=config)
+        background_tasks.add_task(
+            runner.submit, job_id,
+            lambda: run_vector_extraction_job(job_id, aoi_path, raster_paths,
+                                              config))
+        return {"job_id": job_id, "status": "queued",
+                "message": f"Vector extraction started from {raster_paths[0].name}"}
+
+    @app.get("/api/vectors/{job_id}")
+    async def get_vector_job_status(job_id: str):
+        job = jobs.get(job_id)
+        if job is None:
+            raise HTTPException(404, "Job not found")
+        return job
+
+    # ------------------------------------------------------------------
+    # pipeline (main.py:965-1273)
+    # ------------------------------------------------------------------
+
+    def run_pipeline_job(job_id: str, body: PipelineRequest) -> None:
+        try:
+            steps_completed: list = []
+
+            jobs.update(job_id, status="fetching", current_step=1,
+                        message=f"📡 Step 1/4: Finding best image (last "
+                                f"{body.max_age_days} days, cloud "
+                                f"≤{body.max_cloud_cover}%)...")
+            from ..fetch.smart_fetch import ensure_best_image
+
+            input_file, fetch_metadata = ensure_best_image(
+                source_dir=source_dir, max_age_days=body.max_age_days,
+                max_cloud_cover=body.max_cloud_cover,
+                force_fetch=body.force_fetch,
+            )
+            jobs.update(job_id, input_file=str(input_file),
+                        fetch_metadata=fetch_metadata)
+            steps_completed.append({
+                "step": 1, "name": "fetch", "status": "completed",
+                "message": f"✅ Image: {input_file.name}",
+                "details": {
+                    "file": str(input_file),
+                    "cloud_cover": fetch_metadata.get("cloud_cover_pct"),
+                    "acquisition_date": fetch_metadata.get("acquisition_date"),
+                },
+            })
+
+            from ..tiles import process_raster_to_tiles
+
+            if body.generate_original_tiles:
+                jobs.update(job_id, status="tiling_original", current_step=2,
+                            message="🗺️ Step 2/4: Generating original tiles...")
+                tiles_metadata = process_raster_to_tiles(
+                    input_path=input_file, tiles_dir=tiles_dir,
+                    min_zoom=body.min_zoom, max_zoom=body.max_zoom,
+                )
+                steps_completed.append({
+                    "step": 2, "name": "original_tiles", "status": "completed",
+                    "message": f"✅ Tiles generated (z{body.min_zoom}-{body.max_zoom})",
+                    "details": tiles_metadata,
+                })
+            else:
+                steps_completed.append({
+                    "step": 2, "name": "original_tiles", "status": "skipped",
+                    "message": "⏭️ Skipped (generate_original_tiles=false)",
+                })
+
+            sr_output = None
+            if body.run_sr:
+                jobs.update(job_id, status="processing_sr", current_step=3,
+                            message=f"🚀 Step 3/4: Running "
+                                    f"{body.sr_type.upper()} super-resolution...")
+                output_dir = data_dir / "sr" / job_id
+                output_dir.mkdir(parents=True, exist_ok=True)
+                if body.sr_type == "wow":
+                    from ..pipelines.wow_sr import process_wow_sr
+
+                    sr_result = process_wow_sr(
+                        input_tif=input_file, output_dir=output_dir,
+                        enhance_crops=body.enhance_crops,
+                        weights_dir=settings.weights_dir,
+                    )
+                else:
+                    from ..pipelines.farm_sr import process_farm_sr
+
+                    sr_result = process_farm_sr(
+                        input_tif=input_file, output_dir=output_dir, scale=4,
+                        weights_dir=settings.weights_dir,
+                    )
+                sr_output = sr_result["outputs"].get("sr_tif")
+                steps_completed.append({
+                    "step": 3, "name": "super_resolution", "status": "completed",
+                    "message": f"✅ SR complete ({body.sr_type.upper()} x4)",
+                    "details": {"output": sr_output, "scale": 4,
+                                "type": body.sr_type},
+                })
+            else:
+                steps_completed.append({
+                    "step": 3, "name": "super_resolution", "status": "skipped",
+                    "message": "⏭️ Skipped (run_sr=false)",
+                })
+
+            if body.run_sr and sr_output and Path(sr_output).exists():
+                jobs.update(job_id, status="tiling_sr", current_step=4,
+                            message="🗺️ Step 4/4: Generating SR tiles...")
+                sr_tiles_dir = (data_dir / "tiles_wow" if body.sr_type == "wow"
+                                else data_dir / "tiles_sr")
+                sr_tiles_metadata = process_raster_to_tiles(
+                    input_path=Path(sr_output), tiles_dir=sr_tiles_dir,
+                    min_zoom=body.min_zoom,
+                    max_zoom=min(body.max_zoom + 2, 20),
+                )
+                steps_completed.append({
+                    "step": 4, "name": "sr_tiles", "status": "completed",
+                    "message": f"✅ SR tiles generated "
+                               f"(z{body.min_zoom}-{min(body.max_zoom + 2, 20)})",
+                    "details": sr_tiles_metadata,
+                })
+            elif body.run_sr:
+                steps_completed.append({
+                    "step": 4, "name": "sr_tiles", "status": "failed",
+                    "message": "❌ SR output not found",
+                })
+            else:
+                steps_completed.append({
+                    "step": 4, "name": "sr_tiles", "status": "skipped",
+                    "message": "⏭️ Skipped (SR not run)",
+                })
+
+            jobs.update(job_id, status="completed", current_step=4,
+                        message="🎉 Pipeline complete!", steps=steps_completed,
+                        completed_at=datetime.now().isoformat())
+        except Exception as exc:
+            logger.error("Pipeline job %s failed: %s", job_id, exc)
+            jobs.update(job_id, status="failed",
+                        message=f"❌ Failed: {exc}", error=str(exc))
+
+    @app.post("/api/pipeline")
+    async def start_pipeline(request: Request,
+                             background_tasks: BackgroundTasks):
+        body = _validate(PipelineRequest, request)
+        job_id = f"pipeline_{datetime.now().strftime('%Y%m%d_%H%M%S')}"
+        jobs.create(job_id, status="queued", current_step=0,
+                    message="🚀 Pipeline queued...",
+                    config=body.model_dump(), steps=[])
+        background_tasks.add_task(runner.submit, job_id,
+                                  lambda: run_pipeline_job(job_id, body))
+        return {
+            "job_id": job_id, "status": "queued",
+            "message": f"🚀 Pipeline started: Fetch → Tiles → "
+                       f"{body.sr_type.upper()} SR → SR Tiles",
+            "steps": ["fetch", "original_tiles", "super_resolution", "sr_tiles"],
+        }
+
+    @app.get("/api/pipeline/{job_id}")
+    async def get_pipeline_status(job_id: str):
+        job = jobs.get(job_id)
+        if job is None:
+            raise HTTPException(404, "Job not found")
+        return job
+
+    @app.get("/api/pipelines")
+    async def list_pipelines():
+        pipeline_jobs = jobs.with_prefix("pipeline_")
+        return {"jobs": pipeline_jobs, "count": len(pipeline_jobs)}
+
+    # ------------------------------------------------------------------
+    # SPA fallback (main.py:1311-1346)
+    # ------------------------------------------------------------------
+
+    @app.get("/{full_path:path}")
+    async def serve_spa(full_path: str):
+        static_path = static_dir / full_path
+        if static_path.exists() and static_path.is_file():
+            return file_response(static_path)
+        index_path = static_dir / "index.html"
+        if index_path.exists():
+            return file_response(index_path)
+        return json_response({
+            "message": "UP42 Sentinel-2 POC Server",
+            "endpoints": {
+                "health": "/health",
+                "config": "/api/config",
+                "metadata": "/api/metadata",
+                "tiles": "/tiles/{z}/{x}/{y}.png",
+            },
+            "note": "Build Angular client and place in static/ for web UI",
+        })
+
+    return app
+
+
+def start_server() -> None:
+    from .http import run
+
+    settings = get_settings()
+    app = create_app(settings)
+    run(app, host=settings.server_host, port=settings.server_port)
+
+
+if __name__ == "__main__":
+    start_server()

@@ -1,0 +1,312 @@
+"""Minimal asyncio HTTP/1.1 framework (FastAPI-shaped, zero deps).
+
+The reference serves via FastAPI+uvicorn (``server/app/main.py:37-53``);
+neither ships in this image, so the framework carries a small
+asyncio-native server with the pieces the API surface needs:
+
+- route decorators with ``{param}`` path captures (int-coerced on demand),
+- JSON bodies validated through pydantic models,
+- multipart/form-data parsing (the ``/api/enhance`` upload),
+- JSON / file / bytes responses with header control,
+- ``HTTPException(status_code, detail)`` with FastAPI's error shape,
+- CORS middleware equivalent (permissive, matching ``main.py:47-53``),
+- background tasks that run after the response is sent.
+
+Single-process, single event loop; heavy work belongs on the job runner
+thread (see :mod:`s2sr_tpu.server.jobs`), never in handlers.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import inspect
+import json
+import mimetypes
+import re
+import traceback
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Awaitable, Callable, Dict, List, Optional, Tuple
+from urllib.parse import parse_qsl, unquote, urlsplit
+
+from ..utils import setup_logging
+
+logger = setup_logging("s2sr_tpu.http")
+
+_STATUS_TEXT = {
+    200: "OK", 201: "Created", 204: "No Content", 400: "Bad Request",
+    404: "Not Found", 405: "Method Not Allowed", 413: "Payload Too Large",
+    422: "Unprocessable Entity", 500: "Internal Server Error",
+}
+
+
+class HTTPException(Exception):
+    def __init__(self, status_code: int, detail: str = ""):
+        super().__init__(detail)
+        self.status_code = status_code
+        self.detail = detail
+
+
+@dataclass
+class UploadFile:
+    filename: str
+    content_type: str
+    content: bytes
+
+
+@dataclass
+class Request:
+    method: str
+    path: str
+    query: Dict[str, str]
+    headers: Dict[str, str]
+    body: bytes
+    path_params: Dict[str, str] = field(default_factory=dict)
+
+    def json(self) -> Any:
+        try:
+            return json.loads(self.body or b"{}")
+        except json.JSONDecodeError as exc:
+            raise HTTPException(400, f"invalid JSON body: {exc}")
+
+    def multipart(self) -> Tuple[Dict[str, str], Dict[str, UploadFile]]:
+        """Parse multipart/form-data → (fields, files)."""
+        ctype = self.headers.get("content-type", "")
+        m = re.search(r'boundary="?([^";]+)"?', ctype)
+        if not m:
+            raise HTTPException(400, "missing multipart boundary")
+        boundary = b"--" + m.group(1).encode()
+        fields: Dict[str, str] = {}
+        files: Dict[str, UploadFile] = {}
+        for part in self.body.split(boundary):
+            part = part.strip(b"\r\n")
+            if not part or part == b"--":
+                continue
+            header_blob, _, content = part.partition(b"\r\n\r\n")
+            headers = header_blob.decode("utf-8", "replace")
+            name_m = re.search(r'name="([^"]+)"', headers)
+            if not name_m:
+                continue
+            name = name_m.group(1)
+            file_m = re.search(r'filename="([^"]*)"', headers)
+            if file_m:
+                ct_m = re.search(r"Content-Type:\s*([^\r\n]+)", headers, re.I)
+                files[name] = UploadFile(
+                    filename=file_m.group(1) or "upload",
+                    content_type=ct_m.group(1).strip() if ct_m else "application/octet-stream",
+                    content=content,
+                )
+            else:
+                fields[name] = content.decode("utf-8", "replace")
+        return fields, files
+
+
+@dataclass
+class Response:
+    body: bytes = b""
+    status_code: int = 200
+    media_type: str = "application/json"
+    headers: Dict[str, str] = field(default_factory=dict)
+
+
+def json_response(content: Any, status_code: int = 200,
+                  headers: Optional[Dict[str, str]] = None) -> Response:
+    return Response(
+        body=json.dumps(content).encode(),
+        status_code=status_code,
+        media_type="application/json",
+        headers=headers or {},
+    )
+
+
+def file_response(path: Path | str, media_type: Optional[str] = None,
+                  headers: Optional[Dict[str, str]] = None) -> Response:
+    path = Path(path)
+    if not path.exists():
+        raise HTTPException(404, "File not found")
+    if media_type is None:
+        media_type = mimetypes.guess_type(str(path))[0] or "application/octet-stream"
+    return Response(
+        body=path.read_bytes(), media_type=media_type, headers=headers or {}
+    )
+
+
+class BackgroundTasks:
+    """Run-after-response task list (FastAPI semantics)."""
+
+    def __init__(self) -> None:
+        self.tasks: List[Tuple[Callable, tuple, dict]] = []
+
+    def add_task(self, fn: Callable, *args, **kwargs) -> None:
+        self.tasks.append((fn, args, kwargs))
+
+
+_PARAM_RE = re.compile(r"{([a-zA-Z_][a-zA-Z0-9_]*)(:path)?}")
+
+
+def _compile_path(pattern: str) -> re.Pattern:
+    regex = ""
+    pos = 0
+    for m in _PARAM_RE.finditer(pattern):
+        regex += re.escape(pattern[pos:m.start()])
+        if m.group(2):  # {name:path}
+            regex += f"(?P<{m.group(1)}>.*)"
+        else:
+            regex += f"(?P<{m.group(1)}>[^/]+)"
+        pos = m.end()
+    regex += re.escape(pattern[pos:])
+    return re.compile(f"^{regex}$")
+
+
+@dataclass
+class Route:
+    method: str
+    pattern: re.Pattern
+    handler: Callable[..., Awaitable]
+    raw_path: str
+
+
+class App:
+    """Route registry + request dispatcher."""
+
+    def __init__(self, title: str = "", version: str = "") -> None:
+        self.title = title
+        self.version = version
+        self.routes: List[Route] = []
+
+    def _register(self, method: str, path: str):
+        def deco(fn):
+            self.routes.append(Route(method, _compile_path(path), fn, path))
+            return fn
+        return deco
+
+    def get(self, path: str):
+        return self._register("GET", path)
+
+    def post(self, path: str):
+        return self._register("POST", path)
+
+    async def dispatch(self, request: Request) -> Tuple[Response, Optional[BackgroundTasks]]:
+        for route in self.routes:
+            if route.method != request.method:
+                continue
+            m = route.pattern.match(request.path)
+            if not m:
+                continue
+            request.path_params = {k: unquote(v) for k, v in m.groupdict().items()}
+            background: Optional[BackgroundTasks] = None
+            try:
+                kwargs: Dict[str, Any] = {}
+                sig = inspect.signature(route.handler)
+                for name, param in sig.parameters.items():
+                    if name == "request":
+                        kwargs[name] = request
+                    elif param.annotation is BackgroundTasks or name == "background_tasks":
+                        background = BackgroundTasks()
+                        kwargs[name] = background
+                    elif name in request.path_params:
+                        value = request.path_params[name]
+                        if param.annotation is int:
+                            value = int(value)
+                        kwargs[name] = value
+                    elif name in request.query:
+                        kwargs[name] = request.query[name]
+                result = await route.handler(**kwargs)
+                if isinstance(result, Response):
+                    return result, background
+                return json_response(result), background
+            except HTTPException as exc:
+                return json_response({"detail": exc.detail}, exc.status_code), None
+            except Exception as exc:  # pragma: no cover - defensive
+                logger.error("handler error on %s %s: %s\n%s", request.method,
+                             request.path, exc, traceback.format_exc())
+                return json_response({"detail": str(exc)}, 500), None
+        return json_response({"detail": "Not Found"}, 404), None
+
+
+_CORS = {
+    "Access-Control-Allow-Origin": "*",
+    "Access-Control-Allow-Methods": "*",
+    "Access-Control-Allow-Headers": "*",
+}
+
+
+async def _handle_connection(app: App, reader: asyncio.StreamReader,
+                             writer: asyncio.StreamWriter) -> None:
+    try:
+        while True:
+            try:
+                request_line = await asyncio.wait_for(reader.readline(), timeout=75)
+            except asyncio.TimeoutError:
+                break
+            if not request_line or request_line == b"\r\n":
+                break
+            try:
+                method, target, _version = request_line.decode().split()
+            except ValueError:
+                break
+            headers: Dict[str, str] = {}
+            while True:
+                line = await reader.readline()
+                if line in (b"\r\n", b"\n", b""):
+                    break
+                key, _, value = line.decode("latin1").partition(":")
+                headers[key.strip().lower()] = value.strip()
+            length = int(headers.get("content-length", 0))
+            body = await reader.readexactly(length) if length else b""
+
+            split = urlsplit(target)
+            request = Request(
+                method=method,
+                path=unquote(split.path),
+                query=dict(parse_qsl(split.query)),
+                headers=headers,
+                body=body,
+            )
+            if method == "OPTIONS":
+                response, background = Response(status_code=204), None
+            else:
+                response, background = await app.dispatch(request)
+
+            head = (
+                f"HTTP/1.1 {response.status_code} "
+                f"{_STATUS_TEXT.get(response.status_code, 'OK')}\r\n"
+                f"Content-Type: {response.media_type}\r\n"
+                f"Content-Length: {len(response.body)}\r\n"
+            )
+            for k, v in {**_CORS, **response.headers}.items():
+                head += f"{k}: {v}\r\n"
+            keep_alive = headers.get("connection", "keep-alive") != "close"
+            head += f"Connection: {'keep-alive' if keep_alive else 'close'}\r\n\r\n"
+            writer.write(head.encode() + response.body)
+            await writer.drain()
+
+            if background is not None:
+                for fn, args, kwargs in background.tasks:
+                    if inspect.iscoroutinefunction(fn):
+                        asyncio.get_running_loop().create_task(fn(*args, **kwargs))
+                    else:
+                        asyncio.get_running_loop().run_in_executor(
+                            None, lambda f=fn, a=args, k=kwargs: f(*a, **k))
+            if not keep_alive:
+                break
+    except (ConnectionResetError, asyncio.IncompleteReadError):
+        pass
+    finally:
+        try:
+            writer.close()
+            await writer.wait_closed()
+        except Exception:
+            pass
+
+
+async def serve(app: App, host: str = "0.0.0.0", port: int = 8080) -> None:
+    server = await asyncio.start_server(
+        lambda r, w: _handle_connection(app, r, w), host, port)
+    logger.info("Serving %s on %s:%d", app.title, host, port)
+    async with server:
+        await server.serve_forever()
+
+
+def run(app: App, host: str = "0.0.0.0", port: int = 8080) -> None:
+    asyncio.run(serve(app, host, port))

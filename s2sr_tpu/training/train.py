@@ -1,0 +1,103 @@
+"""Sharded RRDBNet training step (fine-tuning on Sentinel-2 pairs).
+
+New capability beyond the reference (which only serves frozen weights,
+SURVEY §2d): an optax train step jit-compiled over a ``(dp, sp)`` device
+mesh —
+
+- ``dp``: batch axis (classic data parallelism),
+- ``sp``: the image H axis (spatial/sequence parallelism — XLA GSPMD
+  inserts the conv halo exchanges over ICI automatically),
+
+with replicated parameters and an all-reduced gradient (inserted by
+GSPMD from the sharding annotations, not hand-written collectives).
+L1 (optionally Charbonnier) loss — the first-stage Real-ESRGAN
+fine-tuning objective.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.rrdbnet import RRDBNet, rrdbnet_apply
+
+
+@dataclass
+class TrainConfig:
+    num_feat: int = 64
+    num_block: int = 23
+    num_grow_ch: int = 32
+    scale: int = 4
+    learning_rate: float = 1e-4
+    charbonnier_eps: float = 0.0     # 0 → plain L1
+    dtype: str = "bfloat16"
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    return optax.adam(config.learning_rate)
+
+
+def loss_fn(params, lr_batch, hr_batch, config: TrainConfig):
+    dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+    pred = rrdbnet_apply(params, lr_batch, scale=config.scale, dtype=dtype)
+    diff = pred - hr_batch
+    if config.charbonnier_eps > 0:
+        loss = jnp.mean(jnp.sqrt(diff * diff + config.charbonnier_eps**2))
+    else:
+        loss = jnp.mean(jnp.abs(diff))
+    return loss
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(N, H, W, C): N over dp, H over sp (both optional in the mesh)."""
+    spec = [None, None, None, None]
+    if "dp" in mesh.axis_names:
+        spec[0] = "dp"
+    if "sp" in mesh.axis_names:
+        spec[1] = "sp"
+    return NamedSharding(mesh, P(*spec))
+
+
+def make_train_step(config: TrainConfig, mesh: Optional[Mesh] = None):
+    """→ jitted ``step(params, opt_state, lr_batch, hr_batch)`` →
+    ``(params, opt_state, loss)``. With a mesh, batches must be placed
+    with :func:`batch_sharding`; params/opt state are replicated."""
+    tx = make_optimizer(config)
+
+    def step(params, opt_state, lr_batch, hr_batch):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, lr_batch, hr_batch, config
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step), tx
+
+    repl = NamedSharding(mesh, P())
+    bsh = batch_sharding(mesh)
+    jitted = jax.jit(
+        step,
+        in_shardings=(repl, repl, bsh, bsh),
+        out_shardings=(repl, repl, repl),
+    )
+    return jitted, tx
+
+
+def init_training(
+    config: TrainConfig, seed: int = 0
+) -> Tuple[dict, optax.OptState]:
+    net = RRDBNet(
+        num_feat=config.num_feat, num_block=config.num_block,
+        num_grow_ch=config.num_grow_ch, scale=config.scale,
+    )
+    params = net.init(jax.random.PRNGKey(seed))
+    tx = make_optimizer(config)
+    return params, tx.init(params)

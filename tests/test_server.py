@@ -1,0 +1,229 @@
+"""HTTP API contract tests — route shapes match the reference server.
+
+Exercised through the in-process dispatcher (no sockets except one
+live-server smoke test). Jobs run on the real runner thread against the
+synthetic fixture, offline.
+"""
+
+import asyncio
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from s2sr_tpu.config.settings import Settings
+from s2sr_tpu.fetch.synthetic import synthetic_scene
+from s2sr_tpu.server.app import create_app
+from s2sr_tpu.server.http import BackgroundTasks, Request
+from s2sr_tpu.utils import write_json
+
+
+def make_request(method, path, body=b"", headers=None, query=None):
+    return Request(method=method, path=path, query=query or {},
+                   headers=headers or {}, body=body)
+
+
+async def call(app, method, path, json_body=None, body=b"", headers=None):
+    if json_body is not None:
+        body = json.dumps(json_body).encode()
+    response, background = await app.dispatch(
+        make_request(method, path, body=body, headers=headers))
+    if background:
+        for fn, args, kwargs in background.tasks:
+            fn(*args, **kwargs)
+    payload = None
+    if response.media_type == "application/json" and response.body:
+        payload = json.loads(response.body)
+    return response, payload
+
+
+@pytest.fixture()
+def app(tmp_path):
+    data_dir = tmp_path / "data"
+    aoi = tmp_path / "aoi.geojson"
+    write_json({
+        "type": "Feature",
+        "geometry": {"type": "Polygon", "coordinates": [[
+            [35.0, 32.0], [35.02, 32.0], [35.02, 32.02],
+            [35.0, 32.02], [35.0, 32.0]]]},
+    }, aoi)
+    settings = Settings(data_dir=str(data_dir), aoi_path=str(aoi),
+                        offline=True, weights_dir=str(tmp_path / "weights"),
+                        tile_min_zoom=12, tile_max_zoom=13)
+    (data_dir / "source").mkdir(parents=True)
+    return create_app(settings)
+
+
+@pytest.fixture()
+def seeded_scene(app):
+    path = Path(app.settings.data_dir) / "source" / "scene.tif"
+    synthetic_scene(path=path, size=(64, 64))
+    write_json({"scene_id": "fixture", "cloud_cover_pct": 1.0,
+                "acquisition_date": "2026-08-15T00:00:00Z"},
+               path.with_suffix(".json"))
+    return path
+
+
+def wait_for(app, job_id, timeout=120):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        job = app.jobs.get(job_id)
+        if job and job["status"] in ("completed", "failed"):
+            return job
+        time.sleep(0.1)
+    raise TimeoutError(f"job {job_id} stuck: {app.jobs.get(job_id)}")
+
+
+def test_health(app):
+    resp, payload = asyncio.run(call(app, "GET", "/health"))
+    assert resp.status_code == 200
+    assert payload == {"status": "healthy", "service": "up42-sentinel-poc"}
+
+
+def test_config_shape(app):
+    _, payload = asyncio.run(call(app, "GET", "/api/config"))
+    assert set(payload) == {"mapboxAccessToken", "tileMinZoom", "tileMaxZoom",
+                            "defaultCenter", "defaultZoom"}
+
+
+def test_metadata_empty_state(app):
+    _, payload = asyncio.run(call(app, "GET", "/api/metadata"))
+    assert payload["tileset"] is None
+    assert payload["tilesAvailable"] is False
+    assert payload["tileEndpoints"]["wow"] == "/tiles_wow/{z}/{x}/{y}.png"
+
+
+def test_tile_404(app):
+    resp, payload = asyncio.run(call(app, "GET", "/tiles/10/1/2.png"))
+    assert resp.status_code == 404
+    assert payload == {"detail": "Tile not found"}
+
+
+def test_sr_validation(app, seeded_scene):
+    resp, payload = asyncio.run(call(app, "POST", "/api/sr",
+                                     json_body={"scale": 5}))
+    assert resp.status_code == 400
+    assert payload["detail"] == "Scale must be 2, 3, or 4"
+    resp, payload = asyncio.run(call(app, "POST", "/api/sr",
+                                     json_body={"model": "bogus"}))
+    assert resp.status_code == 400
+    assert "edsr" in payload["detail"]
+
+
+def test_sr_404_without_source(app):
+    resp, payload = asyncio.run(call(app, "POST", "/api/sr", json_body={}))
+    assert resp.status_code == 404
+
+
+def test_wow_job_end_to_end(app, seeded_scene):
+    resp, payload = asyncio.run(call(app, "POST", "/api/wow", json_body={
+        "input_file": str(seeded_scene), "enhance_crops": True}))
+    assert resp.status_code == 200
+    job_id = payload["job_id"]
+    assert job_id.startswith("wow_")
+    job = wait_for(app, job_id)
+    assert job["status"] == "completed", job["message"]
+    assert job["message"] == "WOW Super-resolution complete! 🌟"
+    assert Path(job["result"]["outputs"]["sr_tif"]).exists()
+    # tiles_wow generated with the zoom-bump rule max+2 ≤ 20
+    _, meta = asyncio.run(call(app, "GET", "/api/metadata"))
+    assert meta["wowTilesAvailable"] is True
+
+    # status endpoint returns the raw job dict
+    _, status = asyncio.run(call(app, "GET", f"/api/sr/{job_id}"))
+    assert status["status"] == "completed"
+
+
+def test_enhance_upload_multipart(app):
+    from PIL import Image
+    import io
+
+    img = np.random.default_rng(0).integers(0, 255, (48, 48, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    boundary = "testboundary123"
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="model"\r\n\r\n'
+        f"realesrgan_x4\r\n"
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="image"; filename="up.png"\r\n'
+        f"Content-Type: image/png\r\n\r\n"
+    ).encode() + buf.getvalue() + f"\r\n--{boundary}--\r\n".encode()
+    headers = {"content-type": f"multipart/form-data; boundary={boundary}",
+               "content-length": str(len(body))}
+    resp, payload = asyncio.run(call(app, "POST", "/api/enhance",
+                                     body=body, headers=headers))
+    assert resp.status_code == 200, payload
+    job = wait_for(app, payload["job_id"])
+    assert job["status"] == "completed", job["message"]
+    # download route serves files from the job output dir
+    out_dir = Path(job["output_dir"])
+    pngs = list(out_dir.glob("*.png"))
+    assert pngs
+    resp, _ = asyncio.run(call(
+        app, "GET", f"/api/sr/download/{payload['job_id']}/{pngs[0].name}"))
+    assert resp.status_code == 200
+    assert resp.body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_enhance_rejects_bad_model(app):
+    boundary = "b"
+    body = (f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="model"\r\n\r\nweird\r\n'
+            f"--{boundary}--\r\n").encode()
+    headers = {"content-type": f"multipart/form-data; boundary={boundary}"}
+    resp, payload = asyncio.run(call(app, "POST", "/api/enhance",
+                                     body=body, headers=headers))
+    assert resp.status_code == 400
+
+
+def test_pipeline_end_to_end_offline(app):
+    """Full pipeline: synthetic fetch → tiles → WOW SR → SR tiles."""
+    resp, payload = asyncio.run(call(app, "POST", "/api/pipeline", json_body={
+        "min_zoom": 12, "max_zoom": 13}))
+    assert payload["steps"] == ["fetch", "original_tiles",
+                                "super_resolution", "sr_tiles"]
+    job = wait_for(app, payload["job_id"], timeout=300)
+    assert job["status"] == "completed", job["message"]
+    names = [s["name"] for s in job["steps"]]
+    assert names == ["fetch", "original_tiles", "super_resolution", "sr_tiles"]
+    assert all(s["status"] == "completed" for s in job["steps"])
+    # pipeline listing filter
+    _, listing = asyncio.run(call(app, "GET", "/api/pipelines"))
+    assert payload["job_id"] in listing["jobs"]
+    # tiles are actually served
+    data_dir = Path(app.settings.data_dir)
+    one = next((data_dir / "tiles").glob("*/*/*.png"))
+    z, x, yname = one.parts[-3], one.parts[-2], one.parts[-1]
+    resp, _ = asyncio.run(call(app, "GET", f"/tiles/{z}/{x}/{yname}"))
+    assert resp.status_code == 200
+
+
+def test_spa_fallback(app):
+    resp, payload = asyncio.run(call(app, "GET", "/some/client/route"))
+    assert resp.status_code == 200
+    assert "endpoints" in payload
+
+
+def test_live_socket_server(app):
+    """One real TCP round-trip through the asyncio server."""
+    import threading
+    import urllib.request
+
+    from s2sr_tpu.server.http import serve
+
+    loop = asyncio.new_event_loop()
+
+    def runner():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(serve(app, host="127.0.0.1", port=18099))
+
+    t = threading.Thread(target=runner, daemon=True)
+    t.start()
+    time.sleep(0.5)
+    with urllib.request.urlopen("http://127.0.0.1:18099/health", timeout=5) as r:
+        assert json.loads(r.read())["status"] == "healthy"
+    loop.call_soon_threadsafe(loop.stop)

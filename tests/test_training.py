@@ -1,0 +1,65 @@
+"""Sharded training-step tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from s2sr_tpu.training.train import (
+    TrainConfig,
+    batch_sharding,
+    init_training,
+    make_train_step,
+)
+
+TINY = TrainConfig(num_feat=8, num_block=1, num_grow_ch=4, scale=2,
+                   dtype="float32", learning_rate=1e-3)
+
+
+def _data(batch=4, h=8, w=8, scale=2, seed=0):
+    rng = np.random.default_rng(seed)
+    lr = rng.random((batch, h, w, 3), np.float32)
+    hr = rng.random((batch, h * scale, w * scale, 3), np.float32)
+    return lr, hr
+
+
+def test_unsharded_loss_decreases():
+    params, opt_state = init_training(TINY)
+    step, _ = make_train_step(TINY)
+    lr, hr = _data()
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, lr, hr)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
+
+
+@pytest.mark.parametrize("mesh_shape", [("dp", 8), ("dp_sp", None)])
+def test_sharded_matches_unsharded(mesh_shape):
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest must provide 8 virtual devices"
+    if mesh_shape[0] == "dp":
+        mesh = Mesh(np.array(devices[:8]), ("dp",))
+    else:
+        mesh = Mesh(np.array(devices[:8]).reshape(4, 2), ("dp", "sp"))
+
+    lr, hr = _data(batch=8, h=16, w=16)
+
+    params0, opt0 = init_training(TINY)
+    step_ref, _ = make_train_step(TINY)
+    p_ref, o_ref, loss_ref = step_ref(params0, opt0, lr, hr)
+
+    params1, opt1 = init_training(TINY)
+    step_sh, _ = make_train_step(TINY, mesh)
+    bsh = batch_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+    p_sh, o_sh, loss_sh = step_sh(
+        jax.device_put(params1, repl), jax.device_put(opt1, repl),
+        jax.device_put(lr, bsh), jax.device_put(hr, bsh),
+    )
+    assert float(loss_sh) == pytest.approx(float(loss_ref), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
