@@ -36,15 +36,16 @@ def main() -> None:
     )
 
     x = jnp.asarray(img)
-    # warmup/compile
+    # warmup/compile. NOTE: on tunnelled device platforms
+    # block_until_ready may not synchronise — force a readback instead.
     out = engine.enhance_device(x)
-    out.block_until_ready()
+    _ = np.asarray(out[:1, :1])
 
     runs = 5
     t0 = time.perf_counter()
     for _ in range(runs):
         out = engine.enhance_device(x)
-    out.block_until_ready()
+        _ = np.asarray(out[:1, :1])  # sync each run (serial dependency)
     dt = time.perf_counter() - t0
 
     mpix_s = size * size * runs / dt / 1e6

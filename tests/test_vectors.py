@@ -1,0 +1,208 @@
+"""Vector module tests: ops vs scipy/cv2 oracles, geometry, end-to-end."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from s2sr_tpu.vectors import ops
+from s2sr_tpu.vectors.geometry import (
+    Polygon,
+    mask_to_polygons,
+    rasterize_polygon,
+    ring_area,
+    simplify_ring,
+)
+
+
+@pytest.fixture
+def blob_mask(rng):
+    """A mask with two blobs, one containing a hole."""
+    m = np.zeros((64, 64), np.uint8)
+    m[8:30, 8:30] = 1
+    m[14:20, 14:20] = 0      # hole
+    m[40:60, 35:58] = 1
+    return m
+
+
+class TestOps:
+    def test_gaussian_matches_scipy(self, rng):
+        from scipy import ndimage
+
+        x = rng.random((50, 60)).astype(np.float32)
+        want = ndimage.gaussian_filter(x, sigma=2.0)
+        got = np.asarray(ops.gaussian_filter(jnp.asarray(x), 2.0))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_ellipse_kernel_matches_cv2(self):
+        import cv2
+
+        for size in (3, 5, 7, 9):
+            want = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (size, size))
+            got = ops.ellipse_kernel(size)
+            np.testing.assert_array_equal(got, want)
+
+    def test_morphology_matches_cv2(self, blob_mask):
+        import cv2
+
+        kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (5, 5))
+        want_close = cv2.morphologyEx(blob_mask, cv2.MORPH_CLOSE, kernel,
+                                      iterations=2)
+        got_close = np.asarray(ops.binary_close(jnp.asarray(blob_mask), 5, 2))
+        np.testing.assert_array_equal(got_close, want_close)
+        want_open = cv2.morphologyEx(blob_mask, cv2.MORPH_OPEN, kernel,
+                                     iterations=2)
+        got_open = np.asarray(ops.binary_open(jnp.asarray(blob_mask), 5, 2))
+        np.testing.assert_array_equal(got_open, want_open)
+
+    def test_fill_holes_matches_scipy(self, blob_mask):
+        from scipy.ndimage import binary_fill_holes
+
+        want = binary_fill_holes(blob_mask).astype(np.uint8)
+        got = np.asarray(ops.fill_holes(jnp.asarray(blob_mask)))
+        np.testing.assert_array_equal(got, want)
+
+    def test_distance_transform_close_to_scipy(self, blob_mask):
+        from scipy.ndimage import distance_transform_edt
+
+        want = distance_transform_edt(blob_mask)
+        got = np.asarray(ops.distance_transform(jnp.asarray(blob_mask)))
+        # JFA is exact except rare voronoi-seam pixels
+        assert np.abs(got - want).max() <= 1.0
+        assert (np.abs(got - want) < 1e-3).mean() > 0.99
+
+    def test_connected_components_matches_scipy(self, blob_mask):
+        from scipy import ndimage
+
+        want, n_want = ndimage.label(blob_mask,
+                                     structure=np.ones((3, 3)))
+        got = ops.renumber_labels(
+            np.asarray(ops.connected_components(jnp.asarray(blob_mask))))
+        assert got.max() == n_want
+        # same partition (bijective label mapping)
+        for lbl in range(1, n_want + 1):
+            region = got[want == lbl]
+            assert len(np.unique(region)) == 1 and region[0] > 0
+
+    def test_watershed_covers_mask(self, blob_mask):
+        dist = np.asarray(ops.distance_transform(jnp.asarray(blob_mask)))
+        markers_mask = (dist > 0.5 * dist.max()).astype(np.uint8)
+        markers = ops.renumber_labels(np.asarray(
+            ops.connected_components(jnp.asarray(markers_mask))))
+        labels = np.asarray(ops.watershed_uniform(
+            jnp.asarray(markers, jnp.int32), jnp.asarray(blob_mask)))
+        assert ((labels > 0) == (blob_mask > 0)).all()
+        assert labels.max() == markers.max()
+
+
+class TestGeometry:
+    def test_square_ring(self):
+        m = np.zeros((10, 10), bool)
+        m[2:6, 3:8] = True
+        polys = mask_to_polygons(m)
+        assert len(polys) == 1
+        assert polys[0].area == pytest.approx(4 * 5)
+        assert not polys[0].holes
+
+    def test_hole_detected(self, blob_mask):
+        polys = mask_to_polygons(blob_mask == 1)
+        polys.sort(key=lambda p: -abs(ring_area(p.exterior)))
+        big = polys[0]
+        assert len(big.holes) == 1
+        assert big.area == pytest.approx(22 * 22 - 6 * 6)
+
+    def test_area_matches_pixel_count_random(self, rng):
+        m = rng.random((40, 40)) > 0.7
+        from scipy import ndimage
+
+        m = ndimage.binary_closing(m)  # reduce single-pixel noise
+        polys = mask_to_polygons(m)
+        total = sum(p.area for p in polys)
+        assert total == pytest.approx(m.sum())
+
+    def test_simplify_square_stays_square(self):
+        ring = np.array([[0, 0], [5, 0], [10, 0], [10, 10],
+                         [0, 10], [0, 5], [0, 0]], float)
+        out = simplify_ring(ring, 0.1)
+        assert len(out) <= len(ring)
+        assert abs(ring_area(out)) == pytest.approx(100)
+
+    def test_rasterize_roundtrip(self):
+        from s2sr_tpu.geo import Affine
+
+        m = np.zeros((32, 32), bool)
+        m[5:20, 8:25] = True
+        polys = mask_to_polygons(m)
+        coords = polys[0].to_geojson()["coordinates"]
+        back = rasterize_polygon(coords, (32, 32), Affine.identity())
+        np.testing.assert_array_equal(back, m)
+
+    def test_wkt_format(self):
+        p = Polygon(np.array([[0, 0], [1, 0], [1, 1], [0, 0]], float))
+        assert p.wkt == "POLYGON ((0 0, 1 0, 1 1, 0 0))"
+
+
+class TestExtraction:
+    def test_end_to_end_rgb_fallback(self, tmp_path):
+        from s2sr_tpu.fetch.synthetic import synthetic_scene
+        from s2sr_tpu.utils import write_json
+        from s2sr_tpu.vectors.extraction import (
+            ExtractionConfig, extract_field_polygons)
+
+        scene_path = tmp_path / "scene.tif"
+        synthetic_scene(path=scene_path, size=(192, 192))
+        aoi = tmp_path / "aoi.geojson"
+        write_json({
+            "type": "Polygon",
+            "coordinates": [[[35.005, 32.005], [35.045, 32.005],
+                             [35.045, 32.045], [35.005, 32.045],
+                             [35.005, 32.005]]],
+        }, aoi)
+        # the fixture scene is near-wall-to-wall vegetation by the HSV
+        # heuristic → one large region; widen the area window so the
+        # smoke test asserts the plumbing, not the palette
+        result = extract_field_polygons(
+            aoi, [scene_path], tmp_path / "vectors",
+            ExtractionConfig(min_area_ha=0.01, max_area_ha=5000.0),
+        )
+        assert result["status"] == "completed"
+        assert result["source_method"] == "rgb_fallback"
+        assert result["feature_count"] > 0
+        gj = result["geojson"]
+        assert gj["type"] == "FeatureCollection"
+        f0 = gj["features"][0]
+        assert set(f0["properties"]) == {
+            "id", "field_index", "area_ha", "source", "confidence",
+            "created_at"}
+        assert 0.1 <= f0["properties"]["confidence"] <= 1.0
+        assert (tmp_path / "vectors" / "fields.geojson").exists()
+        assert (tmp_path / "vectors" / "extraction_metadata.json").exists()
+
+    def test_ndvi_path_with_multiband(self, tmp_path):
+        from s2sr_tpu.fetch.synthetic import synthetic_multiband
+        from s2sr_tpu.geo import GeoTiff, write_geotiff
+        from s2sr_tpu.utils import write_json
+        from s2sr_tpu.vectors.extraction import (
+            ExtractionConfig, extract_field_polygons)
+        import numpy as np
+
+        mb = synthetic_multiband(size=(128, 128))
+        # build an 8-band stack so the band-4/8 NDVI rule engages
+        h, w, _ = mb.data.shape
+        stack = np.zeros((h, w, 8), np.uint16)
+        stack[..., 3] = mb.band(1)   # band 4 = red
+        stack[..., 7] = mb.band(2)   # band 8 = nir
+        path = tmp_path / "mb.tif"
+        write_geotiff(GeoTiff(stack, transform=mb.transform, crs=mb.crs), path)
+        aoi = tmp_path / "aoi.geojson"
+        write_json({
+            "type": "Polygon",
+            "coordinates": [[[35.001, 32.001], [35.049, 32.001],
+                             [35.049, 32.049], [35.001, 32.049],
+                             [35.001, 32.001]]],
+        }, aoi)
+        result = extract_field_polygons(
+            aoi, [path], tmp_path / "v",
+            ExtractionConfig(min_area_ha=0.01, max_area_ha=5000.0))
+        assert result["source_method"] == "ndvi"
+        assert result["feature_count"] > 0
