@@ -282,3 +282,124 @@ def watershed_uniform(markers: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
                                 (lab0, jnp.asarray(True)))
     lab = jnp.where(lab >= big, 0, lab)
     return jnp.where(lab < 0, 0, lab)
+
+
+# --- v2 additions: sobel, maximum filter, gradient watershed -----------
+
+@jax.jit
+def sobel_gradient(img: jnp.ndarray) -> jnp.ndarray:
+    """Gradient magnitude from scipy-style Sobel filters
+    (``scipy.ndimage.sobel`` per axis, reflect mode —
+    ``vector_extraction_v2.py:371-373``)."""
+    x = img.astype(jnp.float32)
+    xp = jnp.pad(x, 1, mode="symmetric")
+    h, w = img.shape
+
+    def shifted(dy, dx):
+        return xp[dy:dy + h, dx:dx + w]
+
+    # scipy sobel axis=1 (x): smooth [1,2,1] over rows, diff [-1,0,1] over cols
+    gx = ((shifted(0, 2) + 2 * shifted(1, 2) + shifted(2, 2))
+          - (shifted(0, 0) + 2 * shifted(1, 0) + shifted(2, 0)))
+    gy = ((shifted(2, 0) + 2 * shifted(2, 1) + shifted(2, 2))
+          - (shifted(0, 0) + 2 * shifted(0, 1) + shifted(0, 2)))
+    return jnp.sqrt(gx * gx + gy * gy)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def maximum_filter(img: jnp.ndarray, size: int) -> jnp.ndarray:
+    """scipy.ndimage.maximum_filter (square window, reflect mode)."""
+    half_lo = size // 2
+    half_hi = size - 1 - half_lo
+    x = img.astype(jnp.float32)
+    h, w = img.shape
+    xp = jnp.pad(x, ((half_lo, half_hi), (0, 0)), mode="symmetric")
+    x = xp[0:h]
+    for i in range(1, size):
+        x = jnp.maximum(x, xp[i:i + h])
+    xp = jnp.pad(x, ((0, 0), (half_lo, half_hi)), mode="symmetric")
+    x = xp[:, 0:w]
+    for i in range(1, size):
+        x = jnp.maximum(x, xp[:, i:i + w])
+    return x
+
+
+@partial(jax.jit, static_argnums=(3,))
+def watershed_gradient(markers: jnp.ndarray, gradient: jnp.ndarray,
+                       mask: jnp.ndarray, levels: int = 64) -> jnp.ndarray:
+    """Marker-driven watershed on a gradient surface.
+
+    Approximates Meyer's priority flooding (cv2.watershed,
+    ``vector_extraction_v2.py:402-406``) by quantising the gradient into
+    ``levels`` altitude bands and geodesically spreading labels through
+    each band lowest-first. Basin boundaries land within ~1 quantisation
+    band of the exact algorithm.
+    """
+    h, w = markers.shape
+    inside = mask > 0
+    g = gradient.astype(jnp.float32)
+    gmin = jnp.min(g)
+    gmax = jnp.max(g)
+    q = jnp.clip(((g - gmin) / jnp.maximum(gmax - gmin, 1e-12)
+                  * (levels - 1)).astype(jnp.int32), 0, levels - 1)
+
+    big = jnp.int32(1 << 30)
+    lab0 = jnp.where(markers > 0, markers.astype(jnp.int32), big)
+    lab0 = jnp.where(inside | (markers > 0), lab0, -1)
+
+    def spread_level(lab, level):
+        allowed = inside & (q <= level)
+
+        def one(state):
+            lab, _ = state
+            current = jnp.where(lab > 0, lab, big)
+            lp = jnp.pad(current, 1, constant_values=big)
+            best = current
+            for dy in (0, 1, 2):
+                for dx in (0, 1, 2):
+                    if dy == 1 and dx == 1:
+                        continue
+                    best = jnp.minimum(best, lp[dy:dy + h, dx:dx + w])
+            unassigned = (lab == big) & allowed
+            new = jnp.where(unassigned & (best < big), best, lab)
+            return new, jnp.any(new != lab)
+
+        lab, _ = jax.lax.while_loop(lambda s: s[1], one,
+                                    (lab, jnp.asarray(True)))
+        return lab
+
+    def body(level, lab):
+        return spread_level(lab, level)
+
+    lab = jax.lax.fori_loop(0, levels, body, lab0)
+    lab = jnp.where(lab >= big, 0, lab)
+    return jnp.where(lab < 0, 0, lab)
+
+
+def kmeans_1d(values: jnp.ndarray, k: int, iters: int = 25,
+              seed: int = 42) -> jnp.ndarray:
+    """Lloyd's k-means on a 1-D feature (the management-zone clustering,
+    ``vector_extraction_v2.py:676-677``), jit-compiled. Returns labels
+    ordered so cluster ids are sorted by centroid value."""
+    values = values.reshape(-1).astype(jnp.float32)
+
+    @partial(jax.jit, static_argnums=(1, 2))
+    def run(vals, k, iters):
+        # quantile init (deterministic)
+        qs = jnp.quantile(vals, (jnp.arange(k) + 0.5) / k)
+
+        def step(_, centers):
+            d = jnp.abs(vals[:, None] - centers[None, :])
+            assign = jnp.argmin(d, axis=1)
+            sums = jax.ops.segment_sum(vals, assign, num_segments=k)
+            counts = jax.ops.segment_sum(jnp.ones_like(vals), assign,
+                                         num_segments=k)
+            return jnp.where(counts > 0, sums / jnp.maximum(counts, 1), centers)
+
+        centers = jax.lax.fori_loop(0, iters, step, qs)
+        order = jnp.argsort(centers)
+        rank = jnp.argsort(order)
+        assign = jnp.argmin(jnp.abs(vals[:, None] - centers[None, :]), axis=1)
+        return rank[assign]
+
+    return run(values, k, iters)

@@ -206,3 +206,75 @@ class TestExtraction:
             ExtractionConfig(min_area_ha=0.01, max_area_ha=5000.0))
         assert result["source_method"] == "ndvi"
         assert result["feature_count"] > 0
+
+
+class TestExtractionV2:
+    def test_v2_end_to_end_bands(self, tmp_path):
+        from s2sr_tpu.fetch.synthetic import synthetic_multiband
+        from s2sr_tpu.utils import read_json, write_json
+        from s2sr_tpu.vectors.extraction_v2 import (
+            ExtractionConfigV2, extract_field_polygons_v2)
+
+        path = tmp_path / "stack.tif"
+        synthetic_multiband(path=path, size=(160, 160))
+        aoi = tmp_path / "aoi.geojson"
+        write_json({
+            "type": "Polygon",
+            "coordinates": [[[35.002, 32.002], [35.048, 32.002],
+                             [35.048, 32.048], [35.002, 32.048],
+                             [35.002, 32.002]]],
+        }, aoi)
+        cfg = ExtractionConfigV2(min_area_ha=0.05, max_area_ha=5000.0,
+                                 min_region_pixels=30, use_osm_roads=False)
+        result = extract_field_polygons_v2(aoi, path, tmp_path / "v2", cfg)
+        assert result["status"] == "completed"
+        assert result["source_method"] == "ndvi_bands"
+        assert result["feature_count"] > 0
+        gj = read_json(tmp_path / "v2" / "fields.geojson")
+        props = gj["features"][0]["properties"]
+        # v2 adds per-field NDVI statistics to the schema
+        for key in ("mean_ndvi", "ndvi_std", "p10_ndvi", "p90_ndvi",
+                    "edge_strength", "compactness", "confidence"):
+            assert key in props, key
+        # management zones written when fields are large enough
+        if result["zone_count"]:
+            zones = read_json(tmp_path / "v2" / "zones.geojson")
+            z0 = zones["features"][0]["properties"]
+            assert set(z0) == {"field_id", "zone_id", "zone_class", "mean_ndvi"}
+
+    def test_v2_rgb_fallback(self, tmp_path):
+        from s2sr_tpu.fetch.synthetic import synthetic_scene
+        from s2sr_tpu.utils import write_json
+        from s2sr_tpu.vectors.extraction_v2 import (
+            ExtractionConfigV2, extract_field_polygons_v2)
+
+        path = tmp_path / "rgb.tif"
+        synthetic_scene(path=path, size=(160, 160))
+        aoi = tmp_path / "aoi.geojson"
+        write_json({
+            "type": "Polygon",
+            "coordinates": [[[35.002, 32.002], [35.048, 32.002],
+                             [35.048, 32.048], [35.002, 32.048],
+                             [35.002, 32.002]]],
+        }, aoi)
+        cfg = ExtractionConfigV2(min_area_ha=0.01, max_area_ha=5000.0,
+                                 min_region_pixels=20, use_osm_roads=False,
+                                 generate_zones=False)
+        result = extract_field_polygons_v2(aoi, path, tmp_path / "v2", cfg)
+        assert result["source_method"] == "rgb_estimated"
+
+    def test_multiband_fetch_offline(self, tmp_path, monkeypatch):
+        from s2sr_tpu.fetch.multiband import FetchConfig, fetch_and_stack_multiband
+        from s2sr_tpu.geo import read_geotiff
+        import s2sr_tpu.fetch.multiband as mb
+        import s2sr_tpu.config.settings as cfg_mod
+
+        aoi = {"type": "Polygon", "coordinates": [[
+            [35.0, 32.0], [35.02, 32.0], [35.02, 32.02],
+            [35.0, 32.02], [35.0, 32.0]]]}
+        path, meta = fetch_and_stack_multiband(
+            aoi, tmp_path, FetchConfig(out_size=64))
+        assert meta["bands"] == ["B04", "B08", "SCL"]
+        r = read_geotiff(path)
+        assert r.data.shape == (64, 64, 3)
+        assert r.data.dtype == np.uint16
