@@ -1,0 +1,376 @@
+"""SwinIR (Swin-transformer SR) — TPU-native functional implementation.
+
+Architecture-equivalent to the reference PyTorch module
+(``server/app/swinir.py:138-635``): shallow conv → RSTB groups (Swin
+blocks: window attention with relative-position bias, shifted windows,
+MLP, LayerNorm) → conv → residual → pixel-shuffle upsampler. The
+reference keeps SwinIR unwired from live endpoints (SURVEY §2 M); here
+it is a first-class registry model.
+
+TPU-first choices:
+- NHWC feature maps; window partition is pure reshape/transpose (no
+  gather), attention is one batched einsum over (windows·B, heads,
+  N, N) — MXU-friendly shapes,
+- relative-position bias is precomputed per window size as a dense
+  (heads, N, N) table added inside the attention einsum,
+- shifted windows use ``jnp.roll`` (cyclic shift + attention mask),
+- the whole forward is shape-static: inputs are reflect-padded to
+  window multiples exactly like the reference (``swinir.py:630-635``).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+# --- primitives --------------------------------------------------------
+
+def _layer_norm(x, p, eps=1e-5):
+    mean = x.mean(-1, keepdims=True)
+    var = ((x - mean) ** 2).mean(-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["weight"] + p["bias"]
+
+
+def _linear(x, p):
+    return x @ p["weight"] + p["bias"]
+
+
+def _conv3x3(x, p):
+    out = jax.lax.conv_general_dilated(
+        x, p["kernel"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + p["bias"]
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def relative_position_index(window: int) -> np.ndarray:
+    """(N, N) index into the (2w-1)² bias table (torch Swin convention)."""
+    coords = np.stack(np.meshgrid(np.arange(window), np.arange(window),
+                                  indexing="ij"))  # (2, w, w)
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]          # (2, N, N)
+    rel = rel.transpose(1, 2, 0)                        # (N, N, 2)
+    rel[:, :, 0] += window - 1
+    rel[:, :, 1] += window - 1
+    rel[:, :, 0] *= 2 * window - 1
+    return rel.sum(-1)                                  # (N, N)
+
+
+def window_partition(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """(B, H, W, C) → (B·nW, w·w, C)."""
+    b, h, ww, c = x.shape
+    x = x.reshape(b, h // w, w, ww // w, w, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, w * w, c)
+
+
+def window_reverse(x: jnp.ndarray, w: int, h: int, ww: int) -> jnp.ndarray:
+    b = x.shape[0] // ((h // w) * (ww // w))
+    x = x.reshape(b, h // w, ww // w, w, w, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, ww, -1)
+
+
+def _attention(x, p, num_heads: int, window: int, bias_idx: jnp.ndarray,
+               mask: jnp.ndarray | None):
+    """Window multi-head self-attention with relative position bias."""
+    bw, n, c = x.shape
+    head_dim = c // num_heads
+    qkv = _linear(x, p["qkv"]).reshape(bw, n, 3, num_heads, head_dim)
+    q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
+    q = q * (head_dim ** -0.5)
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                      preferred_element_type=jnp.float32)
+    bias = p["relative_position_bias_table"][bias_idx]       # (N, N, heads)
+    attn = attn + bias.transpose(2, 0, 1)[None]
+    if mask is not None:
+        nw = mask.shape[0]
+        attn = attn.reshape(bw // nw, nw, num_heads, n, n) + mask[None, :, None]
+        attn = attn.reshape(bw, num_heads, n, n)
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+    return _linear(out, p["proj"])
+
+
+def _shift_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
+    """Attention mask for shifted windows ((nW, N, N), 0 / -100)."""
+    img = np.zeros((1, h, w, 1), np.float32)
+    cnt = 0
+    for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+        for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
+            img[:, hs, ws, :] = cnt
+            cnt += 1
+    windows = np.asarray(window_partition(jnp.asarray(img), window))[:, :, 0]
+    diff = windows[:, None, :] - windows[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def _swin_block(x, p, h: int, w: int, num_heads: int, window: int,
+                shift: int, bias_idx, mask):
+    b = x.shape[0]
+    shortcut = x
+    y = _layer_norm(x, p["norm1"]).reshape(b, h, w, -1)
+    if shift > 0:
+        y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+    windows = window_partition(y, window)
+    attn = _attention(windows, p["attn"], num_heads, window, bias_idx,
+                      mask if shift > 0 else None)
+    y = window_reverse(attn, window, h, w)
+    if shift > 0:
+        y = jnp.roll(y, (shift, shift), axis=(1, 2))
+    x = shortcut + y.reshape(b, h * w, -1)
+    y = _layer_norm(x, p["norm2"])
+    y = _linear(_gelu(_linear(y, p["mlp"]["fc1"])), p["mlp"]["fc2"])
+    return x + y
+
+
+def _rstb(x, p, h: int, w: int, depths: int, num_heads: int, window: int,
+          bias_idx, mask):
+    """Residual Swin Transformer Block: blocks + trailing conv + residual."""
+    b = x.shape[0]
+    y = x
+    for i in range(depths):
+        shift = 0 if i % 2 == 0 else window // 2
+        y = _swin_block(y, p["blocks"][i], h, w, num_heads, window, shift,
+                        bias_idx, mask)
+    img = y.reshape(b, h, w, -1)
+    img = _conv3x3(img, p["conv"])
+    return x + img.reshape(b, h * w, -1)
+
+
+def _pixel_shuffle(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """(B, H, W, C·f²) → (B, f·H, f·W, C), torch PixelShuffle semantics
+    (channel-major ordering: out channel c comes from input channels
+    c·f² + fy·f + fx)."""
+    b, h, w, cf = x.shape
+    c = cf // (factor * factor)
+    x = x.reshape(b, h, w, c, factor, factor)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * factor, w * factor, c)
+
+
+# --- model -------------------------------------------------------------
+
+class SwinIR:
+    """Classical-SR SwinIR (M config by default, ref ``swinir.py:494-635``)."""
+
+    def __init__(
+        self,
+        scale: int = 4,
+        embed_dim: int = 180,
+        depths: Sequence[int] = (6, 6, 6, 6, 6, 6),
+        num_heads: Sequence[int] = (6, 6, 6, 6, 6, 6),
+        window_size: int = 8,
+        mlp_ratio: float = 2.0,
+        num_feat: int = 64,
+        img_range: float = 1.0,
+        dtype=jnp.float32,
+    ):
+        self.scale = scale
+        self.embed_dim = embed_dim
+        self.depths = tuple(depths)
+        self.num_heads = tuple(num_heads)
+        self.window_size = window_size
+        self.mlp_ratio = mlp_ratio
+        self.num_feat = num_feat
+        self.img_range = img_range
+        self.dtype = dtype
+        self.mean = jnp.asarray([0.4488, 0.4371, 0.4040], jnp.float32)
+        self._bias_idx = jnp.asarray(relative_position_index(window_size))
+
+    # --- init ----------------------------------------------------------
+    def init(self, key: jax.Array) -> Params:
+        dim = self.embed_dim
+        w = self.window_size
+        ks = iter(jax.random.split(key, 4096))
+
+        def lin(cin, cout, std=0.02):
+            return {
+                "weight": jax.random.truncated_normal(
+                    next(ks), -2, 2, (cin, cout), jnp.float32) * std,
+                "bias": jnp.zeros((cout,), jnp.float32),
+            }
+
+        def norm(c):
+            return {"weight": jnp.ones((c,), jnp.float32),
+                    "bias": jnp.zeros((c,), jnp.float32)}
+
+        def conv_p(cin, cout):
+            fan = 9 * cin
+            return {
+                "kernel": jax.random.normal(next(ks), (3, 3, cin, cout),
+                                            jnp.float32) * math.sqrt(2 / fan),
+                "bias": jnp.zeros((cout,), jnp.float32),
+            }
+
+        def block(heads):
+            hidden = int(dim * self.mlp_ratio)
+            return {
+                "norm1": norm(dim),
+                "attn": {
+                    "qkv": lin(dim, dim * 3),
+                    "proj": lin(dim, dim),
+                    "relative_position_bias_table": jax.random.truncated_normal(
+                        next(ks), -2, 2,
+                        ((2 * w - 1) ** 2, heads), jnp.float32) * 0.02,
+                },
+                "norm2": norm(dim),
+                "mlp": {"fc1": lin(dim, hidden), "fc2": lin(hidden, dim)},
+            }
+
+        layers = []
+        for depth, heads in zip(self.depths, self.num_heads):
+            layers.append({
+                "blocks": [block(heads) for _ in range(depth)],
+                "conv": conv_p(dim, dim),
+            })
+
+        params: Params = {
+            "conv_first": conv_p(3, dim),
+            "norm_embed": norm(dim),
+            "layers": layers,
+            "norm": norm(dim),
+            "conv_after_body": conv_p(dim, dim),
+            "conv_before_upsample": conv_p(dim, self.num_feat),
+        }
+        # pixel-shuffle chain: x4 = two ×2 stages (ref Upsample :406-420)
+        ups = []
+        s = self.scale
+        while s > 1:
+            if s % 2 == 0:
+                ups.append(conv_p(self.num_feat, 4 * self.num_feat))
+                s //= 2
+            elif s == 3:
+                ups.append(conv_p(self.num_feat, 9 * self.num_feat))
+                s = 1
+            else:
+                raise ValueError(f"unsupported scale {self.scale}")
+        params["upsample"] = ups
+        params["conv_last"] = conv_p(self.num_feat, 3)
+        return params
+
+    # --- forward -------------------------------------------------------
+    def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3) in [0,1] → (B, sH, sW, 3)."""
+        dtype = self.dtype
+        w = self.window_size
+        b, h0, w0, _ = x.shape
+        pad_h = (w - h0 % w) % w
+        pad_w = (w - w0 % w) % w
+        if pad_h or pad_w:
+            x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                        mode="reflect")
+        b, h, ww, _ = x.shape
+
+        x = (x - self.mean) * self.img_range
+        x = x.astype(dtype)
+
+        feat = _conv3x3(x, jax.tree.map(lambda a: a.astype(dtype),
+                                        params["conv_first"]))
+        tokens = feat.reshape(b, h * ww, -1)
+        tokens = _layer_norm(tokens, params["norm_embed"])
+
+        mask = jnp.asarray(_shift_mask(h, ww, w, w // 2))
+        body = tokens
+        for layer, depth, heads in zip(params["layers"], self.depths,
+                                       self.num_heads):
+            body = _rstb(body, layer, h, ww, depth, heads, w,
+                         self._bias_idx, mask)
+        body = _layer_norm(body, params["norm"])
+        body_img = body.reshape(b, h, ww, -1)
+        feat = feat + _conv3x3(body_img, params["conv_after_body"])
+
+        feat = jax.nn.leaky_relu(
+            _conv3x3(feat, params["conv_before_upsample"]), 0.01)
+        s = self.scale
+        for up in params["upsample"]:
+            factor = 2 if s % 2 == 0 else 3
+            feat = _pixel_shuffle(_conv3x3(feat, up), factor)
+            s //= factor if factor != 3 else 3
+            if factor == 3:
+                s = 1
+        out = _conv3x3(feat, params["conv_last"])
+        out = out.astype(jnp.float32) / self.img_range + self.mean
+        return out[:, :h0 * self.scale, :w0 * self.scale, :]
+
+    @partial(jax.jit, static_argnums=0)
+    def _jitted(self, params, x):
+        return self.apply(params, x)
+
+    def __call__(self, params, x):
+        return self._jitted(params, x)
+
+
+# --- torch checkpoint conversion ---------------------------------------
+
+def convert_swinir_state_dict(sd, depths: Sequence[int] = (6,) * 6) -> Params:
+    """Released SwinIR ``.pth`` → our pytree (OIHW→HWIO, linear t())."""
+    if "params" in sd:
+        sd = sd["params"]
+    if "params_ema" in sd:
+        sd = sd["params_ema"]
+
+    def t(name):
+        return jnp.asarray(np.asarray(sd[name]).T)
+
+    def lin(prefix):
+        return {"weight": t(f"{prefix}.weight"),
+                "bias": jnp.asarray(np.asarray(sd[f"{prefix}.bias"]))}
+
+    def norm(prefix):
+        return {"weight": jnp.asarray(np.asarray(sd[f"{prefix}.weight"])),
+                "bias": jnp.asarray(np.asarray(sd[f"{prefix}.bias"]))}
+
+    def conv(prefix):
+        kernel = np.transpose(np.asarray(sd[f"{prefix}.weight"]), (2, 3, 1, 0))
+        return {"kernel": jnp.asarray(kernel),
+                "bias": jnp.asarray(np.asarray(sd[f"{prefix}.bias"]))}
+
+    layers = []
+    for li, depth in enumerate(depths):
+        base = f"layers.{li}.residual_group.blocks"
+        blocks = []
+        for bi in range(depth):
+            prefix = f"{base}.{bi}"
+            blocks.append({
+                "norm1": norm(f"{prefix}.norm1"),
+                "attn": {
+                    "qkv": lin(f"{prefix}.attn.qkv"),
+                    "proj": lin(f"{prefix}.attn.proj"),
+                    "relative_position_bias_table": jnp.asarray(
+                        np.asarray(sd[f"{prefix}.attn.relative_position_bias_table"])),
+                },
+                "norm2": norm(f"{prefix}.norm2"),
+                "mlp": {"fc1": lin(f"{prefix}.mlp.fc1"),
+                        "fc2": lin(f"{prefix}.mlp.fc2")},
+            })
+        layers.append({"blocks": blocks, "conv": conv(f"layers.{li}.conv")})
+
+    params: Params = {
+        "conv_first": conv("conv_first"),
+        "norm_embed": norm("patch_embed.norm"),
+        "layers": layers,
+        "norm": norm("norm"),
+        "conv_after_body": conv("conv_after_body"),
+        "conv_before_upsample": conv("conv_before_upsample.0"),
+        "conv_last": conv("conv_last"),
+    }
+    ups = []
+    i = 0
+    while f"upsample.{i}.weight" in sd:
+        ups.append(conv(f"upsample.{i}"))
+        i += 2  # torch Upsample interleaves PixelShuffle modules
+    params["upsample"] = ups
+    return params
