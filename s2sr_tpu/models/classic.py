@@ -1,0 +1,211 @@
+"""Classic CNN SR family: EDSR, ESPCN, LapSRN (JAX, NHWC).
+
+Capability parity with the reference's OpenCV-DNN path
+(``server/app/super_resolution.py:22-124`` — EDSR/ESPCN/LapSRN ``.pb``
+models via ``cv2.dnn_superres``). Architectures follow the published
+papers (the same models the ``.pb`` files encode):
+
+- EDSR baseline: 16 residual blocks × 64 feats, no BN, residual scale
+  1.0, mean-shifted I/O, pixel-shuffle tail.
+- ESPCN: 5×5/64 → 3×3/32 → 3×3/(3·s²) + pixel shuffle, tanh hidden
+  activations.
+- LapSRN: progressive ×2 pyramid; per level an embedding stack of
+  3×3 convs (leaky ReLU 0.2) + transposed-conv upsample with a
+  bilinear-ish learned kernel, residual added to an upsampled image.
+
+Weights: ``.pb`` conversion needs TensorFlow (absent); models load from
+``.npz`` via :mod:`s2sr_tpu.models.weights` or run on deterministic
+random init offline.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+_DIMS = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv(x, p, stride=1):
+    out = jax.lax.conv_general_dilated(
+        x, p["kernel"], (stride, stride), "SAME", dimension_numbers=_DIMS)
+    return out + p["bias"]
+
+
+def _pixel_shuffle(x, factor):
+    b, h, w, cf = x.shape
+    c = cf // (factor * factor)
+    x = x.reshape(b, h, w, c, factor, factor)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * factor, w * factor, c)
+
+
+def _conv_p(key, kh, kw, cin, cout, scale=None):
+    fan_in = kh * kw * cin
+    std = scale if scale is not None else math.sqrt(2.0 / fan_in)
+    return {
+        "kernel": jax.random.normal(key, (kh, kw, cin, cout), jnp.float32) * std,
+        "bias": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+# --- EDSR --------------------------------------------------------------
+
+class EDSR:
+    def __init__(self, scale: int = 4, num_feat: int = 64,
+                 num_blocks: int = 16, dtype=jnp.bfloat16):
+        self.scale = scale
+        self.num_feat = num_feat
+        self.num_blocks = num_blocks
+        self.dtype = dtype
+        self.mean = jnp.asarray([0.4488, 0.4371, 0.4040], jnp.float32)
+
+    def init(self, key) -> Params:
+        ks = iter(jax.random.split(key, 8 + 2 * self.num_blocks))
+        nf = self.num_feat
+        blocks = [
+            {"conv1": _conv_p(next(ks), 3, 3, nf, nf),
+             "conv2": _conv_p(next(ks), 3, 3, nf, nf)}
+            for _ in range(self.num_blocks)
+        ]
+        body = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+        params: Params = {
+            "head": _conv_p(next(ks), 3, 3, 3, nf),
+            "body": body,
+            "body_conv": _conv_p(next(ks), 3, 3, nf, nf),
+        }
+        ups = []
+        s = self.scale
+        while s > 1:
+            factor = 3 if s == 3 else 2
+            ups.append(_conv_p(next(ks), 3, 3, nf, nf * factor * factor))
+            s //= factor
+        params["upsample"] = ups
+        params["tail"] = _conv_p(next(ks), 3, 3, nf, 3)
+        return params
+
+    def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        dtype = self.dtype
+        cast = lambda t: jax.tree.map(lambda a: a.astype(dtype), t)
+        x = (x - self.mean).astype(dtype)
+        feat = _conv(x, cast(params["head"]))
+
+        def block(h, bp):
+            bp = cast(bp)
+            y = _conv(jax.nn.relu(_conv(h, bp["conv1"])), bp["conv2"])
+            return h + y, None
+
+        body, _ = jax.lax.scan(block, feat, params["body"])
+        feat = feat + _conv(body, cast(params["body_conv"]))
+        s = self.scale
+        for up in params["upsample"]:
+            factor = 3 if s == 3 else 2
+            feat = _pixel_shuffle(_conv(feat, cast(up)), factor)
+            s //= factor
+        out = _conv(feat, cast(params["tail"]))
+        return out.astype(jnp.float32) + self.mean
+
+
+# --- ESPCN -------------------------------------------------------------
+
+class ESPCN:
+    def __init__(self, scale: int = 4, dtype=jnp.float32):
+        self.scale = scale
+        self.dtype = dtype
+
+    def init(self, key) -> Params:
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "conv1": _conv_p(k1, 5, 5, 3, 64),
+            "conv2": _conv_p(k2, 3, 3, 64, 32),
+            "conv3": _conv_p(k3, 3, 3, 32, 3 * self.scale**2),
+        }
+
+    def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        h = jnp.tanh(_conv(x, params["conv1"]))
+        h = jnp.tanh(_conv(h, params["conv2"]))
+        out = _pixel_shuffle(_conv(h, params["conv3"]), self.scale)
+        return out.astype(jnp.float32)
+
+
+# --- LapSRN ------------------------------------------------------------
+
+def _bilinear_up_kernel(factor: int, channels: int) -> jnp.ndarray:
+    """(2f, 2f, C, C) grouped transposed-conv kernel init (bilinear)."""
+    size = 2 * factor
+    center = factor - 0.5
+    og = np.arange(size)
+    filt = (1 - np.abs(og - center) / factor)
+    kern2d = np.outer(filt, filt)
+    kernel = np.zeros((size, size, channels, channels), np.float32)
+    for c in range(channels):
+        kernel[:, :, c, c] = kern2d
+    return jnp.asarray(kernel)
+
+
+def _transposed_conv_x2(x, kernel):
+    return jax.lax.conv_transpose(
+        x, kernel, strides=(2, 2), padding="SAME", dimension_numbers=_DIMS)
+
+
+class LapSRN:
+    """Progressive ×2 pyramid (levels = log2(scale)); scale 8 supported
+    (the reference registry's lapsrn_x8, ``super_resolution.py:44-58``)."""
+
+    def __init__(self, scale: int = 4, num_feat: int = 64,
+                 depth_per_level: int = 5, dtype=jnp.float32):
+        assert scale in (2, 4, 8)
+        self.scale = scale
+        self.levels = int(math.log2(scale))
+        self.num_feat = num_feat
+        self.depth = depth_per_level
+        self.dtype = dtype
+
+    def init(self, key) -> Params:
+        nf = self.num_feat
+        ks = iter(jax.random.split(key, 4 + self.levels * (self.depth + 3)))
+        params: Params = {"head": _conv_p(next(ks), 3, 3, 3, nf), "levels": []}
+        for _ in range(self.levels):
+            level = {
+                "embed": [_conv_p(next(ks), 3, 3, nf, nf)
+                          for _ in range(self.depth)],
+                "up_feat": _bilinear_up_kernel(2, nf),
+                "res": _conv_p(next(ks), 3, 3, nf, 3),
+                "up_img": _bilinear_up_kernel(2, 3),
+            }
+            params["levels"].append(level)
+        return params
+
+    def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        feat = jax.nn.leaky_relu(_conv(x, params["head"]), 0.2)
+        img = x
+        for level in params["levels"]:
+            h = feat
+            for embed in level["embed"]:
+                h = jax.nn.leaky_relu(_conv(h, embed), 0.2)
+            feat = _transposed_conv_x2(h, level["up_feat"])
+            residual = _conv(feat, level["res"])
+            img = _transposed_conv_x2(img, level["up_img"]) + residual
+        return img.astype(jnp.float32)
+
+
+def build_classic_model(name: str, config: dict):
+    family = config["family"]
+    scale = config["scale"]
+    if family == "edsr":
+        return EDSR(scale=scale, num_feat=config.get("channels", 256),
+                    num_blocks=config.get("blocks", 32))
+    if family == "espcn":
+        return ESPCN(scale=scale)
+    if family == "lapsrn":
+        return LapSRN(scale=scale)
+    raise ValueError(f"not a classic model family: {family}")

@@ -1,0 +1,101 @@
+"""Standard SR pipeline (the EDSR/ESPCN/LapSRN path).
+
+Behaviour parity with ``server/app/super_resolution.py:92-324``: model
+registry dispatch, raster read/normalise, SR, rescaled-transform save,
+metadata dict with the same keys. The cv2.dnn_superres backend is
+replaced by the jit-compiled classic-family models
+(:mod:`s2sr_tpu.models.classic`).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime
+from pathlib import Path
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.classic import build_classic_model
+from ..models.registry import get_model_config
+from ..models.weights import load_params
+from ..utils import StageTimer, setup_logging
+from .io import load_rgb, save_sr_output
+
+logger = setup_logging("s2sr_tpu.super_resolution")
+
+
+def create_sr_model(model: str = "edsr", scale: int = 4):
+    """(model instance, params) for a classic family member
+    (``super_resolution.py:92-124``)."""
+    name = f"{model}_x{scale}"
+    config = get_model_config(name)
+    instance = build_classic_model(name, config)
+    from ..config import get_settings
+
+    weights_dir = Path(get_settings().weights_dir)
+    npz = weights_dir / f"{name}.npz"
+    if npz.exists():
+        params = load_params(npz)
+    else:
+        logger.warning("%s: no converted weights — random init", name)
+        params = instance.init(jax.random.PRNGKey(0))
+    return instance, params
+
+
+def apply_super_resolution(
+    input_path: Path | str,
+    output_path: Path | str,
+    scale: int = 4,
+    model: str = "edsr",
+) -> Tuple[Path, dict]:
+    """(``super_resolution.py:127-257``) read → SR → save."""
+    logger.info("Super-resolution (%s x%d): %s", model.upper(), scale, input_path)
+    timer = StageTimer(total_stages=2)
+    img, transform, crs = load_rgb(input_path)
+
+    with timer.stage(f"{model.upper()} x{scale}"):
+        instance, params = create_sr_model(model, scale)
+        x = jnp.asarray(img.astype(np.float32) / 255.0)[None]
+        out = jax.jit(instance.apply)(params, x)[0]
+        out_u8 = np.asarray(
+            jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8))
+
+    final = save_sr_output(out_u8, Path(output_path), transform, crs, scale)
+    metadata = {
+        "model": f"{model.upper()}_x{scale}",
+        "scale": scale,
+        "input_size": [img.shape[1], img.shape[0]],
+        "output_size": [out_u8.shape[1], out_u8.shape[0]],
+        "original_resolution_m": 10.0,
+        "effective_resolution_m": 10.0 / scale,
+        "timing": timer.summary(),
+    }
+    return final, metadata
+
+
+def process_sentinel2_sr(
+    input_tif: Path | str,
+    output_dir: Path | str,
+    scale: int = 4,
+    model: str = "edsr",
+) -> dict:
+    """(``super_resolution.py:260-324``) wrapper + sidecar metadata."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    base = Path(input_tif).stem
+    out_path = output_dir / f"{base}_sr_x{scale}"
+    final, metadata = apply_super_resolution(input_tif, out_path, scale, model)
+    result = {
+        "timestamp": datetime.now().strftime("%Y%m%d_%H%M%S"),
+        "input": str(input_tif),
+        "outputs": {"sr_tif": str(final) if final.suffix == ".tif" else None,
+                    "sr_png": str(final.with_suffix(".png"))
+                    if final.with_suffix(".png").exists() else None},
+        "sr_metadata": metadata,
+    }
+    with open(output_dir / f"{base}_sr_metadata.json", "w") as f:
+        json.dump(result, f, indent=2)
+    return result

@@ -1,0 +1,66 @@
+"""Classic SR family (EDSR/ESPCN/LapSRN) forward-shape + behaviour tests."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from s2sr_tpu.models.classic import EDSR, ESPCN, LapSRN, _pixel_shuffle
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+def test_edsr_shapes(scale):
+    model = EDSR(scale=scale, num_feat=16, num_blocks=2, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0).random((1, 12, 10, 3)), jnp.float32)
+    out = model.apply(params, x)
+    assert out.shape == (1, 12 * scale, 10 * scale, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+def test_espcn_shapes(scale):
+    model = ESPCN(scale=scale)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((2, 8, 8, 3))
+    out = model.apply(params, x)
+    assert out.shape == (2, 8 * scale, 8 * scale, 3)
+
+
+@pytest.mark.parametrize("scale", [2, 4, 8])
+def test_lapsrn_shapes(scale):
+    model = LapSRN(scale=scale, num_feat=8, depth_per_level=2)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(1).random((1, 8, 8, 3)), jnp.float32)
+    out = model.apply(params, x)
+    assert out.shape == (1, 8 * scale, 8 * scale, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pixel_shuffle_matches_torch():
+    x = np.random.default_rng(2).random((2, 5, 7, 12)).astype(np.float32)
+    want = F.pixel_shuffle(torch.from_numpy(x).permute(0, 3, 1, 2), 2)
+    want = want.permute(0, 2, 3, 1).numpy()
+    got = np.asarray(_pixel_shuffle(jnp.asarray(x), 2))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_lapsrn_bilinear_upsample_identity():
+    """With zero residual convs, LapSRN reduces to bilinear-kernel
+    transposed-conv upsampling of the image — smoke-check monotonicity."""
+    model = LapSRN(scale=2, num_feat=4, depth_per_level=1)
+    params = model.init(jax.random.PRNGKey(0))
+    params["levels"][0]["res"]["kernel"] = jnp.zeros_like(
+        params["levels"][0]["res"]["kernel"])
+    params["levels"][0]["res"]["bias"] = jnp.zeros_like(
+        params["levels"][0]["res"]["bias"])
+    ramp = jnp.broadcast_to(
+        jnp.linspace(0, 1, 16)[None, :, None, None], (1, 16, 16, 3)
+    ).transpose(0, 2, 1, 3)
+    out = np.asarray(model.apply(params, ramp))
+    # interior columns should stay monotone non-decreasing
+    interior = out[0, 8, 2:-2, 0]
+    assert (np.diff(interior) >= -1e-5).all()

@@ -1,0 +1,92 @@
+"""CLI smoke tests: each entry point runs end-to-end on fixtures."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from s2sr_tpu.fetch.synthetic import synthetic_scene
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run_cli(module, *args, cwd):
+    env_code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        f"import sys; sys.path.insert(0, {str(REPO)!r});"
+        f"sys.argv = ['{module}'] + {list(args)!r};"
+        f"import runpy; runpy.run_module('{module}', run_name='__main__')"
+    )
+    return subprocess.run([sys.executable, "-c", env_code], cwd=cwd,
+                          capture_output=True, text=True, timeout=600)
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    path = d / "scene.tif"
+    synthetic_scene(path=path, size=(64, 64))
+    return path
+
+
+def test_tile_cli(scene, tmp_path):
+    r = run_cli("s2sr_tpu.cli.tile", str(scene), "-o", str(tmp_path / "t"),
+                "--min-zoom", "12", "--max-zoom", "13", cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "t" / "tileset.json").exists()
+
+
+def test_wow_cli(scene, tmp_path):
+    r = run_cli("s2sr_tpu.cli.wow_sr", str(scene), "-o", str(tmp_path / "w"),
+                "--weights-dir", str(tmp_path / "weights"), cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert list((tmp_path / "w").glob("*_wow_sr.tif"))
+
+
+def test_generate_vectors_cli(scene, tmp_path):
+    from s2sr_tpu.utils import write_json
+
+    aoi = tmp_path / "aoi.geojson"
+    write_json({"type": "Polygon", "coordinates": [[
+        [35.005, 32.005], [35.045, 32.005], [35.045, 32.045],
+        [35.005, 32.045], [35.005, 32.005]]]}, aoi)
+    r = run_cli("s2sr_tpu.cli.generate_vectors",
+                "--aoi", str(aoi), "--raster", str(scene),
+                "-o", str(tmp_path / "v"),
+                "--min-area-ha", "0.01", "--max-area-ha", "5000",
+                cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "v" / "fields.geojson").exists()
+
+
+def test_fetch_cli_offline(tmp_path):
+    r = run_cli("s2sr_tpu.cli.fetch", "--max-days", "30", cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Best image" in r.stdout
+
+
+def test_convert_weights_cli(tmp_path):
+    import torch
+
+    sd = {"conv_first.weight": torch.zeros(4, 3, 3, 3),
+          "conv_first.bias": torch.zeros(4),
+          "body.0.rdb1.conv1.weight": torch.zeros(2, 4, 3, 3),
+          "body.0.rdb1.conv1.bias": torch.zeros(2)}
+    # complete a minimal valid structure
+    for j in (1, 2, 3):
+        for k in (1, 2, 3, 4, 5):
+            cin = 4 + (k - 1) * 2 if k < 5 else 4 + 4 * 2
+            cout = 2 if k < 5 else 4
+            sd[f"body.0.rdb{j}.conv{k}.weight"] = torch.zeros(cout, cin, 3, 3)
+            sd[f"body.0.rdb{j}.conv{k}.bias"] = torch.zeros(cout)
+    for name in ("conv_body", "conv_up1", "conv_up2", "conv_hr"):
+        sd[f"{name}.weight"] = torch.zeros(4, 4, 3, 3)
+        sd[f"{name}.bias"] = torch.zeros(4)
+    sd["conv_last.weight"] = torch.zeros(3, 4, 3, 3)
+    sd["conv_last.bias"] = torch.zeros(3)
+    pth = tmp_path / "model.pth"
+    torch.save({"params_ema": sd}, pth)
+    r = run_cli("s2sr_tpu.cli.convert_weights", str(pth), cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "model.npz").exists()
