@@ -28,7 +28,43 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
 
 
 def encode_png(img: np.ndarray, level: int = 3, filter_sub: bool = True) -> bytes:
-    """Encode (H, W), (H, W, 3) or (H, W, 4) uint8 → PNG bytes."""
+    """Encode (H, W), (H, W, 3) or (H, W, 4) uint8 → PNG bytes.
+
+    Uses the native libpng encoder (s2sr_tpu/native) when built,
+    falling back to the pure-Python path transparently."""
+    native = _native_encode(img, level)
+    if native is not None:
+        return native
+    return _encode_png_py(img, level, filter_sub)
+
+
+def _native_encode(img: np.ndarray, level: int):
+    from ..native import load
+    import ctypes
+
+    lib = load()
+    if lib is None:
+        return None
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c not in (1, 2, 3, 4):
+        return None
+    img = np.ascontiguousarray(img)
+    cap = h * w * c + (1 << 12)
+    out = ctypes.create_string_buffer(cap)
+    out_len = ctypes.c_size_t(0)
+    rc = lib.s2sr_png_encode(
+        img.ctypes.data_as(ctypes.c_char_p), h, w, c, level,
+        out, cap, ctypes.byref(out_len))
+    if rc != 0:
+        return None
+    return out.raw[:out_len.value]
+
+
+def _encode_png_py(img: np.ndarray, level: int = 3,
+                   filter_sub: bool = True) -> bytes:
+    """Pure-Python encoder (always available)."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
