@@ -1,0 +1,219 @@
+"""Pallas TPU kernel: fully-fused Residual Dense Block.
+
+The RDB is the hot loop of Real-ESRGAN inference (69 invocations per
+forward pass of the 23-block model — SURVEY §3.1 "THE hot loop"). The
+XLA path (s2sr_tpu/models/rrdbnet.py) reaches ~37 TF/s on v5e because
+every one of the five convs round-trips its activations through HBM and
+the 32-channel growth tensors waste MXU lanes and memory tiles.
+
+This kernel computes one entire RDB per VMEM residency:
+
+- the image is processed in T×T tiles with a 5-px halo (one px per
+  conv); each tile's input window is DMA'd into VMEM once and all five
+  convs + LeakyReLUs + the dense-sum chain run without touching HBM,
+- the four 32-channel growth activations live stacked in the lanes of
+  one (T+10, T+10, 128) VMEM buffer (``g``), so no 32-lane tiles exist
+  anywhere: stage k's convolution contracts the full 128 lanes against
+  a kernel whose not-yet-written lane rows are zero (zero activations
+  contribute zero — identical math, full-width MXU contractions),
+- convs are 9 shifted (sublane-rolled) full-width matmuls accumulating
+  in fp32,
+- image-border semantics of SAME/zero padding are preserved by masking
+  every stage's activation (and the final output) to the true image
+  rectangle, so results equal the unfused reference computation.
+
+Weight packing (host side, from the standard RDB param tree):
+    wx  (3,3,64,192): [K1ₓ|K2ₓ|K3ₓ|K4ₓ|K5ₓ]      — x contributions
+    wg2 (3,3,128,32): rows 0:32  = K2's x1 slice   — rest zero
+    wg3 (3,3,128,32): rows 0:64  = K3's x1,x2 slices
+    wg4 (3,3,128,32): rows 0:96  = K4's x1..x3 slices
+    wg5 (3,3,128,64): rows 0:128 = K5's x1..x4 slices
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Params = Dict[str, Any]
+
+TILE = 80          # output tile edge (tunable; VMEM-bound)
+HALO = 5           # one px per conv
+NF = 64            # num_feat
+G = 32             # growth channels
+
+
+def pack_rdb_weights(p: Params, dtype=jnp.bfloat16):
+    """RDB param tree → packed kernel weights (see module docstring)."""
+    def sl(k, lo, hi):
+        return p[f"conv{k}"]["kernel"][:, :, lo:hi, :]
+
+    wx = jnp.concatenate([sl(k, 0, NF) for k in (1, 2, 3, 4, 5)], axis=-1)
+
+    def gk(k, n_src):
+        """(3,3,128,Cout): rows for x1..x_{n_src}, zero rows above."""
+        parts = [sl(k, NF + i * G, NF + (i + 1) * G) for i in range(n_src)]
+        used = jnp.concatenate(parts, axis=2)
+        pad_rows = 4 * G - n_src * G
+        if pad_rows:
+            used = jnp.concatenate(
+                [used, jnp.zeros(used.shape[:2] + (pad_rows, used.shape[3]),
+                                 used.dtype)], axis=2)
+        return used
+
+    wg2, wg3, wg4 = gk(2, 1), gk(3, 2), gk(4, 3)
+    wg5 = gk(5, 4)
+    biases = jnp.concatenate([p[f"conv{k}"]["bias"] for k in (1, 2, 3, 4)])
+    b5 = p["conv5"]["bias"]
+    cast = lambda a: a.astype(dtype)
+    return (tuple(map(cast, (wx, wg2, wg3, wg4, wg5))),
+            biases.astype(jnp.float32)[None, :],
+            b5.astype(jnp.float32)[None, :])
+
+
+def _conv_full_width(src, y0, oh, kernel, acc_dtype=jnp.float32):
+    """3×3 conv over full-width rows [y0-1, y0-1+oh+2) of ``src``.
+
+    Column shifts are sublane rolls; the wrapped first/last output
+    columns are garbage and must be excluded/masked by the caller.
+    Returns (oh, Sw, Cout) in ``acc_dtype``.
+    """
+    sw = src.shape[1]
+    cin = src.shape[2]
+    cout = kernel.shape[3]
+    acc = jnp.zeros((oh, sw, cout), acc_dtype)
+    for dy in range(3):
+        rows = src[y0 - 1 + dy:y0 - 1 + dy + oh]          # (oh, Sw, Cin)
+        for dx in range(3):
+            shifted = pltpu.roll(rows, (1 - dx) % sw, axis=1)
+            flat = shifted.reshape(oh * sw, cin)
+            part = jax.lax.dot_general(
+                flat, kernel[dy, dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype,
+            )
+            acc = acc + part.reshape(oh, sw, cout)
+    return acc
+
+
+def _rdb_kernel(hparams, x_hbm, wx, wg2, wg3, wg4, wg5, b14, b5,
+                out_ref, in_vmem, g_buf, px_buf, x5acc, sem):
+    """One T×T tile of the fused RDB. See module docstring."""
+    img_h, img_w, tile = hparams
+    ty = pl.program_id(1)
+    tx = pl.program_id(2)
+    b = pl.program_id(0)
+    sw = tile + 2 * HALO
+    dtype = in_vmem.dtype
+
+    # ---- fetch input window (halo included) --------------------------
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(ty * tile, sw), pl.ds(tx * tile, sw), :],
+        in_vmem, sem)
+    dma.start()
+    dma.wait()
+
+    # padded-coordinate frame: image occupies [HALO, HALO+img_h)
+    base_y = ty * tile
+    base_x = tx * tile
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, sw), 0) + base_y
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, sw), 1) + base_x
+    img_mask = ((row_ids >= HALO) & (row_ids < HALO + img_h)
+                & (col_ids >= HALO) & (col_ids < HALO + img_w))
+
+    def stage_mask(k):
+        """validity of stage-k activations: k px inside the tile window
+        AND inside the true image rectangle."""
+        local_y = jax.lax.broadcasted_iota(jnp.int32, (sw, sw), 0)
+        local_x = jax.lax.broadcasted_iota(jnp.int32, (sw, sw), 1)
+        tile_ok = ((local_y >= k) & (local_y < sw - k)
+                   & (local_x >= k) & (local_x < sw - k))
+        return (tile_ok & img_mask)[:, :, None]
+
+    x = in_vmem[:]
+
+    def lrelu(v):
+        return jnp.where(v >= 0, v, 0.2 * v)
+
+    # ---- stage 1: p-parts of all five convs --------------------------
+    oh = sw - 2
+    px = _conv_full_width(x, 1, oh, wx[:])              # (oh, sw, 192) f32
+    px_buf[1:1 + oh] = px[:, :, :4 * G].astype(dtype)
+    x5acc[1:1 + oh] = px[:, :, 4 * G:]
+
+    # zero g so unwritten lane groups contribute nothing
+    g_buf[:] = jnp.zeros_like(g_buf)
+
+    bias14 = b14[0]
+    x1 = lrelu(px[:, :, 0:G] + bias14[0:G])
+    g_buf[1:1 + oh, :, 0:G] = jnp.where(
+        stage_mask(1)[1:1 + oh], x1, 0.0).astype(dtype)
+
+    # ---- stages 2..4: g-buffer convs ---------------------------------
+    for k, wg in ((2, wg2), (3, wg3), (4, wg4)):
+        y = _conv_full_width(g_buf[:], 1, oh, wg[:])    # (oh, sw, 32)
+        pk = px_buf[1:1 + oh, :, (k - 1) * G:k * G].astype(jnp.float32)
+        xk = lrelu(pk + y + bias14[(k - 1) * G:k * G])
+        g_buf[1:1 + oh, :, (k - 1) * G:k * G] = jnp.where(
+            stage_mask(k)[1:1 + oh], xk, 0.0).astype(dtype)
+
+    # ---- stage 5 ------------------------------------------------------
+    y5 = _conv_full_width(g_buf[:], 1, oh, wg5[:])      # (oh, sw, 64)
+    x5 = x5acc[1:1 + oh] + y5 + b5[0]
+    out_full = x5 * 0.2 + x[1:1 + oh].astype(jnp.float32)
+    out_full = jnp.where(stage_mask(HALO)[1:1 + oh], out_full, 0.0)
+    # interior crop: output tile covers padded rows/cols [HALO, HALO+T)
+    out_ref[0] = out_full[HALO - 1:HALO - 1 + tile,
+                          HALO:HALO + tile, :].astype(out_ref.dtype)
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rdb_pallas(x: jnp.ndarray, packed, b14, b5, *, interpret=False):
+    """Apply one fused RDB to (B, H, W, 64) bf16. Returns same shape."""
+    bsz, h, w, _ = x.shape
+    tile = TILE
+    nty, ntx = _cdiv(h, tile), _cdiv(w, tile)
+    hp, wp = nty * tile, ntx * tile
+    xp = jnp.pad(x, ((0, 0), (HALO, hp - h + HALO),
+                     (HALO, wp - w + HALO), (0, 0)))
+    wx, wg2, wg3, wg4, wg5 = packed
+    sw = tile + 2 * HALO
+
+    kernel = functools.partial(_rdb_kernel, (h, w, tile))
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, nty, ntx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),           # x (HBM)
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # wx
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # wg2
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # wg3
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # wg4
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # wg5
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # b14
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # b5
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, tile, NF), lambda b, i, j: (b, i, j, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, wp, NF), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((sw, sw, NF), x.dtype),              # in_vmem
+            pltpu.VMEM((sw, sw, 4 * G), x.dtype),           # g_buf
+            pltpu.VMEM((sw, sw, 4 * G), x.dtype),           # px_buf
+            pltpu.VMEM((sw, sw, NF), jnp.float32),          # x5acc
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(xp, wx, wg2, wg3, wg4, wg5, b14, b5)
+    return out[:, :h, :w, :]
