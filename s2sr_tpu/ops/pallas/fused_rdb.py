@@ -91,7 +91,15 @@ def _conv_full_width(src, y0, oh, kernel, acc_dtype=jnp.float32):
     for dy in range(3):
         rows = src[y0 - 1 + dy:y0 - 1 + dy + oh]          # (oh, Sw, Cin)
         for dx in range(3):
-            shifted = pltpu.roll(rows, (1 - dx) % sw, axis=1)
+            # static column shift by (1-dx) via pad+slice (Mosaic has no
+            # rank-3 sublane rotate); the vacated edge column is zero —
+            # it lands only in output columns the caller masks anyway.
+            if dx == 0:
+                shifted = jnp.pad(rows, ((0, 0), (1, 0), (0, 0)))[:, :sw, :]
+            elif dx == 2:
+                shifted = jnp.pad(rows, ((0, 0), (0, 1), (0, 0)))[:, 1:, :]
+            else:
+                shifted = rows
             flat = shifted.reshape(oh * sw, cin)
             part = jax.lax.dot_general(
                 flat, kernel[dy, dx],
@@ -119,22 +127,24 @@ def _rdb_kernel(hparams, x_hbm, wx, wg2, wg3, wg4, wg5, b14, b5,
     dma.start()
     dma.wait()
 
-    # padded-coordinate frame: image occupies [HALO, HALO+img_h)
+    # padded-coordinate frame: image occupies [HALO, HALO+img_h).
+    # masks built rank-3 directly — Mosaic cannot insert a minor dim on
+    # non-32-bit (i1) vectors.
     base_y = ty * tile
     base_x = tx * tile
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, sw), 0) + base_y
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, sw), 1) + base_x
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, sw, 1), 0) + base_y
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, sw, 1), 1) + base_x
     img_mask = ((row_ids >= HALO) & (row_ids < HALO + img_h)
                 & (col_ids >= HALO) & (col_ids < HALO + img_w))
+    local_y = jax.lax.broadcasted_iota(jnp.int32, (sw, sw, 1), 0)
+    local_x = jax.lax.broadcasted_iota(jnp.int32, (sw, sw, 1), 1)
 
     def stage_mask(k):
         """validity of stage-k activations: k px inside the tile window
         AND inside the true image rectangle."""
-        local_y = jax.lax.broadcasted_iota(jnp.int32, (sw, sw), 0)
-        local_x = jax.lax.broadcasted_iota(jnp.int32, (sw, sw), 1)
         tile_ok = ((local_y >= k) & (local_y < sw - k)
                    & (local_x >= k) & (local_x < sw - k))
-        return (tile_ok & img_mask)[:, :, None]
+        return tile_ok & img_mask
 
     x = in_vmem[:]
 

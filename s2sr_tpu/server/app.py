@@ -103,7 +103,9 @@ def create_app(settings: Optional[Settings] = None,
     vectors_dir = data_dir / "vectors"
     static_dir = static_dir or Path("static")
 
-    jobs = JobStore()
+    from .persistence import DurableJobStore
+
+    jobs = DurableJobStore(data_dir / "jobs.jsonl")
     runner = JobRunner(jobs, max_concurrent=settings.max_concurrent_enhance)
     app.jobs = jobs          # exposed for tests / introspection
     app.runner = runner
