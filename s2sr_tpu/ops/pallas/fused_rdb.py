@@ -43,8 +43,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 Params = Dict[str, Any]
 
-TILE = 80          # output tile edge (tunable; VMEM-bound)
-HALO = 5           # one px per conv
+TILE = 64          # output tile edge (tunable; VMEM-bound)
+HALO = 5           # conv validity shrink per stage
+PAD = 8            # read-window margin (8-aligned HBM DMA slices)
 NF = 64            # num_feat
 G = 32             # growth channels
 
@@ -117,7 +118,7 @@ def _rdb_kernel(hparams, x_hbm, wx, wg2, wg3, wg4, wg5, b14, b5,
     ty = pl.program_id(1)
     tx = pl.program_id(2)
     b = pl.program_id(0)
-    sw = tile + 2 * HALO
+    sw = tile + 2 * PAD
     dtype = in_vmem.dtype
 
     # ---- fetch input window (halo included) --------------------------
@@ -134,8 +135,8 @@ def _rdb_kernel(hparams, x_hbm, wx, wg2, wg3, wg4, wg5, b14, b5,
     base_x = tx * tile
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, sw, 1), 0) + base_y
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, sw, 1), 1) + base_x
-    img_mask = ((row_ids >= HALO) & (row_ids < HALO + img_h)
-                & (col_ids >= HALO) & (col_ids < HALO + img_w))
+    img_mask = ((row_ids >= PAD) & (row_ids < PAD + img_h)
+                & (col_ids >= PAD) & (col_ids < PAD + img_w))
     local_y = jax.lax.broadcasted_iota(jnp.int32, (sw, sw, 1), 0)
     local_x = jax.lax.broadcasted_iota(jnp.int32, (sw, sw, 1), 1)
 
@@ -178,9 +179,9 @@ def _rdb_kernel(hparams, x_hbm, wx, wg2, wg3, wg4, wg5, b14, b5,
     x5 = x5acc[1:1 + oh] + y5 + b5[0]
     out_full = x5 * 0.2 + x[1:1 + oh].astype(jnp.float32)
     out_full = jnp.where(stage_mask(HALO)[1:1 + oh], out_full, 0.0)
-    # interior crop: output tile covers padded rows/cols [HALO, HALO+T)
-    out_ref[0] = out_full[HALO - 1:HALO - 1 + tile,
-                          HALO:HALO + tile, :].astype(out_ref.dtype)
+    # interior crop: output tile covers padded rows/cols [PAD, PAD+T)
+    out_ref[0] = out_full[PAD - 1:PAD - 1 + tile,
+                          PAD:PAD + tile, :].astype(out_ref.dtype)
 
 
 def _cdiv(a, b):
@@ -194,10 +195,10 @@ def rdb_pallas(x: jnp.ndarray, packed, b14, b5, *, interpret=False):
     tile = TILE
     nty, ntx = _cdiv(h, tile), _cdiv(w, tile)
     hp, wp = nty * tile, ntx * tile
-    xp = jnp.pad(x, ((0, 0), (HALO, hp - h + HALO),
-                     (HALO, wp - w + HALO), (0, 0)))
+    xp = jnp.pad(x, ((0, 0), (PAD, hp - h + PAD),
+                     (PAD, wp - w + PAD), (0, 0)))
     wx, wg2, wg3, wg4, wg5 = packed
-    sw = tile + 2 * HALO
+    sw = tile + 2 * PAD
 
     kernel = functools.partial(_rdb_kernel, (h, w, tile))
     out = pl.pallas_call(
