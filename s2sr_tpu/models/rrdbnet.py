@@ -130,16 +130,30 @@ def rrdbnet_apply(
     x: jnp.ndarray,
     scale: int = 4,
     dtype: jnp.dtype = jnp.bfloat16,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Forward pass. ``x``: (N, H, W, 3) float in [0, 1] → (N, sH, sW, 3).
 
     ``params['body']`` holds the RRDB stack with a leading block axis;
-    the body runs as one ``lax.scan``.
+    the body runs as one ``lax.scan``. With ``use_pallas`` the residual
+    dense blocks run through the fused Pallas kernel
+    (:mod:`s2sr_tpu.ops.pallas.fused_rdb`) instead of XLA convs.
     """
     feat = _conv(x, params["conv_first"], dtype)
 
-    def block(carry, block_params):
-        return _rrdb(carry, block_params, dtype), None
+    if use_pallas:
+        from ..ops.pallas.fused_rdb import pack_rdb_weights, rdb_pallas
+
+        def block(carry, block_params):
+            out = carry
+            for name in ("rdb1", "rdb2", "rdb3"):
+                packed, b14, b5 = pack_rdb_weights(block_params[name],
+                                                   dtype=dtype)
+                out = rdb_pallas(out.astype(dtype), packed, b14, b5)
+            return out * jnp.asarray(0.2, dtype) + carry, None
+    else:
+        def block(carry, block_params):
+            return _rrdb(carry, block_params, dtype), None
 
     body_feat, _ = jax.lax.scan(block, feat, params["body"])
     body_feat = _conv(body_feat, params["conv_body"], dtype)

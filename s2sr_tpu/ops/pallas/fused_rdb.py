@@ -56,6 +56,11 @@ def pack_rdb_weights(p: Params, dtype=jnp.bfloat16):
         return p[f"conv{k}"]["kernel"][:, :, lo:hi, :]
 
     wx = jnp.concatenate([sl(k, 0, NF) for k in (1, 2, 3, 4, 5)], axis=-1)
+    # input is carried at 128 lanes (zero-padded 64→128) so HBM DMA
+    # slices are lane-tile aligned; extend wx with matching zero rows
+    wx = jnp.concatenate(
+        [wx, jnp.zeros(wx.shape[:2] + (4 * G - NF, wx.shape[3]), wx.dtype)],
+        axis=2)
 
     def gk(k, n_src):
         """(3,3,128,Cout): rows for x1..x_{n_src}, zero rows above."""
@@ -147,7 +152,7 @@ def _rdb_kernel(hparams, x_hbm, wx, wg2, wg3, wg4, wg5, b14, b5,
                    & (local_x >= k) & (local_x < sw - k))
         return tile_ok & img_mask
 
-    x = in_vmem[:]
+    x = in_vmem[:]          # (sw, sw, 128); lanes 64:128 are zero
 
     def lrelu(v):
         return jnp.where(v >= 0, v, 0.2 * v)
@@ -177,7 +182,7 @@ def _rdb_kernel(hparams, x_hbm, wx, wg2, wg3, wg4, wg5, b14, b5,
     # ---- stage 5 ------------------------------------------------------
     y5 = _conv_full_width(g_buf[:], 1, oh, wg5[:])      # (oh, sw, 64)
     x5 = x5acc[1:1 + oh] + y5 + b5[0]
-    out_full = x5 * 0.2 + x[1:1 + oh].astype(jnp.float32)
+    out_full = x5 * 0.2 + x[1:1 + oh, :, :NF].astype(jnp.float32)
     out_full = jnp.where(stage_mask(HALO)[1:1 + oh], out_full, 0.0)
     # interior crop: output tile covers padded rows/cols [PAD, PAD+T)
     out_ref[0] = out_full[PAD - 1:PAD - 1 + tile,
@@ -196,7 +201,7 @@ def rdb_pallas(x: jnp.ndarray, packed, b14, b5, *, interpret=False):
     nty, ntx = _cdiv(h, tile), _cdiv(w, tile)
     hp, wp = nty * tile, ntx * tile
     xp = jnp.pad(x, ((0, 0), (PAD, hp - h + PAD),
-                     (PAD, wp - w + PAD), (0, 0)))
+                     (PAD, wp - w + PAD), (0, 4 * G - NF)))
     wx, wg2, wg3, wg4, wg5 = packed
     sw = tile + 2 * PAD
 
@@ -219,7 +224,7 @@ def rdb_pallas(x: jnp.ndarray, packed, b14, b5, *, interpret=False):
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, hp, wp, NF), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((sw, sw, NF), x.dtype),              # in_vmem
+            pltpu.VMEM((sw, sw, 4 * G), x.dtype),           # in_vmem (128 lanes)
             pltpu.VMEM((sw, sw, 4 * G), x.dtype),           # g_buf
             pltpu.VMEM((sw, sw, 4 * G), x.dtype),           # px_buf
             pltpu.VMEM((sw, sw, NF), jnp.float32),          # x5acc
