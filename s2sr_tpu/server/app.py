@@ -119,6 +119,33 @@ def create_app(settings: Optional[Settings] = None,
     async def health_check():
         return {"status": "healthy", "service": "up42-sentinel-poc"}
 
+    @app.get("/api/runtime")
+    async def get_runtime():
+        """Runtime/observability surface (beyond the reference, SURVEY §5.5
+        notes it has no metrics export): device inventory, job counts,
+        queue depth."""
+        import jax
+
+        try:
+            devices = [{"id": d.id, "platform": d.platform,
+                        "kind": getattr(d, "device_kind", "")}
+                       for d in jax.devices()]
+        except Exception as exc:  # backend not initialisable
+            devices = [{"error": str(exc)}]
+        all_jobs = jobs.all()
+        by_status: dict = {}
+        for job in all_jobs.values():
+            by_status[job.get("status", "?")] = by_status.get(
+                job.get("status", "?"), 0) + 1
+        return {
+            "devices": devices,
+            "jobs_total": len(all_jobs),
+            "jobs_by_status": by_status,
+            "runner_active": runner.active_count,
+            "runner_queued": runner.queued_count,
+            "max_concurrent": runner.max_concurrent,
+        }
+
     @app.get("/api/config")
     async def get_config():
         return {

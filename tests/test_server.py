@@ -227,3 +227,10 @@ def test_live_socket_server(app):
     with urllib.request.urlopen("http://127.0.0.1:18099/health", timeout=5) as r:
         assert json.loads(r.read())["status"] == "healthy"
     loop.call_soon_threadsafe(loop.stop)
+
+
+def test_runtime_metrics(app):
+    _, payload = asyncio.run(call(app, "GET", "/api/runtime"))
+    assert "devices" in payload
+    assert payload["max_concurrent"] >= 1
+    assert isinstance(payload["jobs_by_status"], dict)
