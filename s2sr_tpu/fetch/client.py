@@ -247,6 +247,23 @@ class UP42Client:
                 for f in response.json().get("features", [])]
 
     @retry_with_backoff(max_retries=3)
+    def find_existing_order(self, scene_id: str) -> Optional[str]:
+        """Reuse a fulfilled order for the same scene before paying for a
+        new one (``scripts/fetch_sentinel2_sr.py:98-107`` behaviour)."""
+        import requests
+
+        response = requests.get(
+            f"{self.settings.up42_api_base}/orders",
+            params={"status": "FULFILLED", "size": 50},
+            headers=self._headers(), timeout=30)
+        response.raise_for_status()
+        for order in response.json().get("content", []):
+            params = order.get("params", {}) or {}
+            if params.get("id") == scene_id:
+                return order.get("id")
+        return None
+
+    @retry_with_backoff(max_retries=3)
     def create_order(self, scene: Scene, aoi_geometry: dict) -> str:
         import requests
 
@@ -302,7 +319,12 @@ class UP42Client:
         if not scenes:
             raise RuntimeError("UP42 catalog returned no scenes")
         best = min(scenes, key=lambda s: s.cloud_cover)
-        order_id = self.create_order(best, aoi_geometry)
+        order_id = self.find_existing_order(best.scene_id)
+        if order_id:
+            logger.info("reusing fulfilled UP42 order %s for scene %s",
+                        order_id, best.scene_id)
+        else:
+            order_id = self.create_order(best, aoi_geometry)
         order = self.wait_for_order(order_id)
         assets = order.get("assets", [])
         if not assets:

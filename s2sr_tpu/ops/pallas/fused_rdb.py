@@ -83,37 +83,38 @@ def pack_rdb_weights(p: Params, dtype=jnp.bfloat16):
             b5.astype(jnp.float32)[None, :])
 
 
-def _conv_full_width(src, y0, oh, kernel, acc_dtype=jnp.float32):
-    """3×3 conv over full-width rows [y0-1, y0-1+oh+2) of ``src``.
+def _conv_chunks(src_ref, y0, oh, kernel, cout, emit, chunk=64):
+    """3×3 conv over full-width rows [y0-1, y0-1+oh+2), streamed in
+    output-channel chunks to bound VMEM (the f32 accumulator is the
+    fattest temporary; chunking keeps it ≤ (oh, Sw, 64) f32).
 
-    Column shifts are sublane rolls; the wrapped first/last output
-    columns are garbage and must be excluded/masked by the caller.
-    Returns (oh, Sw, Cout) in ``acc_dtype``.
+    Column shifts are static pad+slice (Mosaic has no rank-3 sublane
+    rotate); the vacated edge columns are zero and land only in output
+    columns the caller masks. ``emit(c0, acc)`` receives each finished
+    (oh, Sw, ≤chunk) f32 block.
     """
-    sw = src.shape[1]
-    cin = src.shape[2]
-    cout = kernel.shape[3]
-    acc = jnp.zeros((oh, sw, cout), acc_dtype)
-    for dy in range(3):
-        rows = src[y0 - 1 + dy:y0 - 1 + dy + oh]          # (oh, Sw, Cin)
-        for dx in range(3):
-            # static column shift by (1-dx) via pad+slice (Mosaic has no
-            # rank-3 sublane rotate); the vacated edge column is zero —
-            # it lands only in output columns the caller masks anyway.
-            if dx == 0:
-                shifted = jnp.pad(rows, ((0, 0), (1, 0), (0, 0)))[:, :sw, :]
-            elif dx == 2:
-                shifted = jnp.pad(rows, ((0, 0), (0, 1), (0, 0)))[:, 1:, :]
-            else:
-                shifted = rows
-            flat = shifted.reshape(oh * sw, cin)
-            part = jax.lax.dot_general(
-                flat, kernel[dy, dx],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=acc_dtype,
-            )
-            acc = acc + part.reshape(oh, sw, cout)
-    return acc
+    sw = src_ref.shape[1]
+    cin = src_ref.shape[2]
+    for c0 in range(0, cout, chunk):
+        cc = min(chunk, cout - c0)
+        acc = jnp.zeros((oh, sw, cc), jnp.float32)
+        for dy in range(3):
+            rows = src_ref[y0 - 1 + dy:y0 - 1 + dy + oh]   # (oh, Sw, Cin)
+            for dx in range(3):
+                if dx == 0:
+                    shifted = jnp.pad(rows, ((0, 0), (1, 0), (0, 0)))[:, :sw, :]
+                elif dx == 2:
+                    shifted = jnp.pad(rows, ((0, 0), (0, 1), (0, 0)))[:, 1:, :]
+                else:
+                    shifted = rows
+                flat = shifted.reshape(oh * sw, cin)
+                part = jax.lax.dot_general(
+                    flat, kernel[dy, dx, :, c0:c0 + cc],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = acc + part.reshape(oh, sw, cc)
+        emit(c0, acc)
 
 
 def _rdb_kernel(hparams, x_hbm, wx, wg2, wg3, wg4, wg5, b14, b5,
@@ -152,37 +153,45 @@ def _rdb_kernel(hparams, x_hbm, wx, wg2, wg3, wg4, wg5, b14, b5,
                    & (local_x >= k) & (local_x < sw - k))
         return tile_ok & img_mask
 
-    x = in_vmem[:]          # (sw, sw, 128); lanes 64:128 are zero
-
     def lrelu(v):
         return jnp.where(v >= 0, v, 0.2 * v)
 
     # ---- stage 1: p-parts of all five convs --------------------------
     oh = sw - 2
-    px = _conv_full_width(x, 1, oh, wx[:])              # (oh, sw, 192) f32
-    px_buf[1:1 + oh] = px[:, :, :4 * G].astype(dtype)
-    x5acc[1:1 + oh] = px[:, :, 4 * G:]
+    bias14 = b14[0]
+
+    def emit_px(c0, acc):
+        if c0 < 4 * G:                                   # p1..p4 → px_buf
+            px_buf[1:1 + oh, :, c0:c0 + acc.shape[2]] = acc.astype(dtype)
+        else:                                            # p5 → x5 accumulator
+            x5acc[1:1 + oh] = acc
+
+    _conv_chunks(in_vmem, 1, oh, wx[:], 4 * G + NF, emit_px)
 
     # zero g so unwritten lane groups contribute nothing
     g_buf[:] = jnp.zeros_like(g_buf)
 
-    bias14 = b14[0]
-    x1 = lrelu(px[:, :, 0:G] + bias14[0:G])
+    x1 = lrelu(px_buf[1:1 + oh, :, 0:G].astype(jnp.float32) + bias14[0:G])
     g_buf[1:1 + oh, :, 0:G] = jnp.where(
         stage_mask(1)[1:1 + oh], x1, 0.0).astype(dtype)
 
     # ---- stages 2..4: g-buffer convs ---------------------------------
     for k, wg in ((2, wg2), (3, wg3), (4, wg4)):
-        y = _conv_full_width(g_buf[:], 1, oh, wg[:])    # (oh, sw, 32)
-        pk = px_buf[1:1 + oh, :, (k - 1) * G:k * G].astype(jnp.float32)
-        xk = lrelu(pk + y + bias14[(k - 1) * G:k * G])
-        g_buf[1:1 + oh, :, (k - 1) * G:k * G] = jnp.where(
-            stage_mask(k)[1:1 + oh], xk, 0.0).astype(dtype)
+        def emit_xk(c0, acc, k=k):
+            pk = px_buf[1:1 + oh, :, (k - 1) * G:k * G].astype(jnp.float32)
+            xk = lrelu(pk + acc + bias14[(k - 1) * G:k * G])
+            g_buf[1:1 + oh, :, (k - 1) * G:k * G] = jnp.where(
+                stage_mask(k)[1:1 + oh], xk, 0.0).astype(dtype)
+
+        _conv_chunks(g_buf, 1, oh, wg[:], G, emit_xk)
 
     # ---- stage 5 ------------------------------------------------------
-    y5 = _conv_full_width(g_buf[:], 1, oh, wg5[:])      # (oh, sw, 64)
-    x5 = x5acc[1:1 + oh] + y5 + b5[0]
-    out_full = x5 * 0.2 + x[1:1 + oh, :, :NF].astype(jnp.float32)
+    def emit_y5(c0, acc):
+        x5acc[1:1 + oh] = x5acc[1:1 + oh] + acc
+
+    _conv_chunks(g_buf, 1, oh, wg5[:], NF, emit_y5)
+    x5 = x5acc[1:1 + oh] + b5[0]
+    out_full = x5 * 0.2 + in_vmem[1:1 + oh, :, :NF].astype(jnp.float32)
     out_full = jnp.where(stage_mask(HALO)[1:1 + oh], out_full, 0.0)
     # interior crop: output tile covers padded rows/cols [PAD, PAD+T)
     out_ref[0] = out_full[PAD - 1:PAD - 1 + tile,
@@ -223,6 +232,8 @@ def rdb_pallas(x: jnp.ndarray, packed, b14, b5, *, interpret=False):
             (1, tile, tile, NF), lambda b, i, j: (b, i, j, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, hp, wp, NF), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         scratch_shapes=[
             pltpu.VMEM((sw, sw, 4 * G), x.dtype),           # in_vmem (128 lanes)
             pltpu.VMEM((sw, sw, 4 * G), x.dtype),           # g_buf
