@@ -49,8 +49,10 @@ class SREngine:
         mesh=None,
     ):
         config = get_model_config(model_name)
-        if config["family"] != "rrdbnet":
-            raise ValueError(f"SREngine currently drives rrdbnet models, got {model_name}")
+        if config["family"] not in ("rrdbnet", "swinir"):
+            raise ValueError(
+                f"SREngine drives rrdbnet/swinir models, got {model_name}")
+        self.family = config["family"]
         self.model_name = model_name
         self.scale = config["scale"]
         self.tile_size = tile_size
@@ -59,7 +61,31 @@ class SREngine:
         self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         self.bgr_order = bgr_order
         self.mesh = mesh
-        self.params, self.pretrained = resolve_params(model_name, weights_dir)
+        if self.family == "swinir":
+            # SwinIR: tile_pad 16 like the reference wrapper
+            # (``server/app/swinir.py:704-748``)
+            from .swinir import SwinIR, convert_swinir_state_dict
+
+            self.tile_pad = max(tile_pad, 16)
+            model = SwinIR(
+                scale=config["scale"], embed_dim=config["embed_dim"],
+                depths=config["depths"], num_heads=config["num_heads"],
+                window_size=config["window_size"], dtype=self.dtype,
+            )
+            npz = Path(weights_dir) / f"{model_name}.pth"
+            if npz.exists():
+                from .weights import load_torch_checkpoint
+
+                self.params = convert_swinir_state_dict(
+                    load_torch_checkpoint(npz), depths=config["depths"])
+                self.pretrained = True
+            else:
+                self.params = model.init(jax.random.PRNGKey(0))
+                self.pretrained = False
+            model_apply = model.apply
+        else:
+            self.params, self.pretrained = resolve_params(model_name, weights_dir)
+            model_apply = None
         if not self.pretrained:
             logger.warning(
                 "%s: no converted weights in %s — using random init "
@@ -68,9 +94,14 @@ class SREngine:
             )
         scale, dtype_ = self.scale, self.dtype
 
-        @jax.jit
-        def batch_fn(params, batch):
-            return rrdbnet_apply(params, batch, scale=scale, dtype=dtype_)
+        if self.family == "swinir":
+            @jax.jit
+            def batch_fn(params, batch):
+                return model_apply(params, batch)
+        else:
+            @jax.jit
+            def batch_fn(params, batch):
+                return rrdbnet_apply(params, batch, scale=scale, dtype=dtype_)
 
         self._batch_fn = batch_fn
 
@@ -79,8 +110,9 @@ class SREngine:
         # quantisation all fuse into a single executable — critical when
         # the device sits behind a per-dispatch RPC tunnel, and avoids
         # every intermediate round-tripping HBM.
-        tile, pad, batch_size, bgr = tile_size, tile_pad, batch_size, bgr_order
+        tile, pad, batch_size, bgr = tile_size, self.tile_pad, batch_size, bgr_order
         mesh_ = mesh
+        family = self.family
 
         @jax.jit
         def enhance_fn(params, img_u8):
@@ -89,8 +121,12 @@ class SREngine:
                 x = x[:, :, ::-1]
             h, w, _ = x.shape
 
-            def model(b):
-                return rrdbnet_apply(params, b, scale=scale, dtype=dtype_)
+            if family == "swinir":
+                def model(b):
+                    return model_apply(params, b)
+            else:
+                def model(b):
+                    return rrdbnet_apply(params, b, scale=scale, dtype=dtype_)
 
             if h * w > tile * tile * 4:
                 out = tiled_apply(model, x, tile=tile, pad=pad, scale=scale,

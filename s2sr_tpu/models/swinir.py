@@ -105,14 +105,19 @@ def _attention(x, p, num_heads: int, window: int, bias_idx: jnp.ndarray,
 
 
 def _shift_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
-    """Attention mask for shifted windows ((nW, N, N), 0 / -100)."""
-    img = np.zeros((1, h, w, 1), np.float32)
+    """Attention mask for shifted windows ((nW, N, N), 0 / -100).
+
+    Pure numpy (shapes are static) so it folds to a constant even when
+    the model is traced inside an outer jit.
+    """
+    img = np.zeros((h, w), np.float32)
     cnt = 0
     for hs in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
         for ws in (slice(0, -window), slice(-window, -shift), slice(-shift, None)):
-            img[:, hs, ws, :] = cnt
+            img[hs, ws] = cnt
             cnt += 1
-    windows = np.asarray(window_partition(jnp.asarray(img), window))[:, :, 0]
+    windows = img.reshape(h // window, window, w // window, window)
+    windows = windows.transpose(0, 2, 1, 3).reshape(-1, window * window)
     diff = windows[:, None, :] - windows[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 

@@ -64,3 +64,24 @@ def test_lapsrn_bilinear_upsample_identity():
     # interior columns should stay monotone non-decreasing
     interior = out[0, 8, 2:-2, 0]
     assert (np.diff(interior) >= -1e-5).all()
+
+
+def test_swinir_engine_small(tmp_path):
+    """SwinIR drives through the same SREngine surface."""
+    from s2sr_tpu.models.engine import SREngine
+    from s2sr_tpu.models.registry import MODELS
+
+    # register a tiny SwinIR variant so the test is fast
+    MODELS["swinir_tiny"] = {
+        "family": "swinir", "scale": 2, "embed_dim": 12,
+        "depths": (2,), "num_heads": (2,), "window_size": 4,
+        "description": "test",
+    }
+    try:
+        eng = SREngine("swinir_tiny", weights_dir=tmp_path, dtype="float32")
+        img = np.random.default_rng(0).integers(0, 255, (24, 20, 3)).astype(np.uint8)
+        out = eng.enhance(img)
+        assert out.shape == (48, 40, 3)
+        assert out.dtype == np.uint8
+    finally:
+        MODELS.pop("swinir_tiny", None)
