@@ -100,7 +100,18 @@ class PublicSentinel2Client:
         return [Scene.from_stac_feature(f)
                 for f in response.json().get("features", [])]
 
-    def _download_asset(self, url: str) -> GeoTiff:
+    def _download_asset(self, url: str,
+                        aoi_geometry: Optional[dict] = None) -> GeoTiff:
+        """Fetch an asset. For COGs with a known AOI only the
+        intersecting tiles are range-requested (the ``/vsicurl``
+        equivalent, via :class:`s2sr_tpu.geo.cog.CogReader`); otherwise
+        the whole file is downloaded."""
+        if aoi_geometry is not None:
+            try:
+                return self._stream_window(url, aoi_geometry)
+            except Exception as exc:
+                logger.warning("windowed COG read failed (%s); "
+                               "falling back to full download", exc)
         import requests
         import tempfile
 
@@ -110,6 +121,28 @@ class PublicSentinel2Client:
             tmp.write(r.content)
             tmp.flush()
             return read_geotiff(tmp.name)
+
+    def _stream_window(self, url: str, aoi_geometry: dict,
+                       margin: int = 64) -> GeoTiff:
+        from ..geo.cog import CogReader
+        from ..geo.crs import transform_bounds
+
+        reader = CogReader(url)
+        w, s, e, n = _aoi_bounds(aoi_geometry)
+        if reader.crs is not None and not reader.crs.is_geographic:
+            w, s, e, n = transform_bounds(CRS(4326), reader.crs, w, s, e, n)
+        inv = ~reader.transform
+        cols, rows = zip(*[inv * (x, y) for x, y in
+                           ((w, s), (e, s), (e, n), (w, n))])
+        c0 = int(np.floor(min(cols))) - margin
+        r0 = int(np.floor(min(rows))) - margin
+        c1 = int(np.ceil(max(cols))) + margin
+        r1 = int(np.ceil(max(rows))) + margin
+        out = reader.window_geotiff(r0, c0, r1 - r0, c1 - c0)
+        logger.info("streamed COG window %dx%d from %s (%d range requests)",
+                    r1 - r0, c1 - c0, url.rsplit("/", 1)[-1],
+                    getattr(reader._f, "requests_made", -1))
+        return out
 
     def _clip_to_aoi(self, raster: GeoTiff, aoi_geometry: dict,
                      out_size: int = 1024) -> GeoTiff:
@@ -148,7 +181,7 @@ class PublicSentinel2Client:
         try:
             visual = best.assets.get("visual", {}).get("href")
             if visual:
-                raster = self._download_asset(visual)
+                raster = self._download_asset(visual, aoi_geometry)
         except Exception as exc:
             logger.warning("visual asset failed: %s — trying RGB bands", exc)
         if raster is None:
@@ -158,7 +191,7 @@ class PublicSentinel2Client:
                     href = best.assets.get(key, {}).get("href")
                     if not href:
                         raise KeyError(key)
-                    bands.append(self._download_asset(href))
+                    bands.append(self._download_asset(href, aoi_geometry))
                 stack = np.concatenate([b.data[:, :, :1] for b in bands], axis=-1)
                 scale = max(float(stack.max()) / 255.0, 1.0)
                 raster = GeoTiff((stack / scale).astype(np.uint8),

@@ -109,7 +109,7 @@ def fetch_and_stack_multiband(
         href = scene.assets.get(key, {}).get("href")
         if not href:
             raise RuntimeError(f"scene {scene.scene_id} missing asset {key}")
-        bands[key] = client._download_asset(href)
+        bands[key] = client._download_asset(href, aoi_geometry)
 
     size = config.out_size
     red = _warp_band_to_grid(bands["red"], dst_transform, CRS(4326), size)
