@@ -205,7 +205,12 @@ def test_pipeline_end_to_end_offline(app):
 def test_spa_fallback(app):
     resp, payload = asyncio.run(call(app, "GET", "/some/client/route"))
     assert resp.status_code == 200
-    assert "endpoints" in payload
+    # with the static client present the fallback serves index.html;
+    # without it, the JSON endpoint map (reference main.py:1316-1346)
+    if payload is None:
+        assert b"<html" in resp.body.lower()
+    else:
+        assert "endpoints" in payload
 
 
 def test_live_socket_server(app):
