@@ -63,3 +63,33 @@ def test_sharded_matches_unsharded(mesh_shape):
     for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_sh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5, rtol=1e-4)
+
+
+def test_pair_sampler_and_prefetch():
+    from s2sr_tpu.training.data import PairSampler, prefetch
+
+    sampler = PairSampler(crop_lr=8, scale=2, batch_size=2, seed=1)
+    lr, hr = sampler.sample()
+    assert lr.shape == (2, 8, 8, 3) and hr.shape == (2, 16, 16, 3)
+    assert 0.0 <= lr.min() and lr.max() <= 1.0
+    # LR is the exact 2x2 area mean of HR
+    want = hr.reshape(2, 8, 2, 8, 2, 3).mean(axis=(2, 4))
+    np.testing.assert_allclose(lr, want, atol=1e-6)
+
+    batches = list(prefetch(sampler, steps=3))
+    assert len(batches) == 3
+    for lr_b, hr_b in batches:
+        assert lr_b.shape == (2, 8, 8, 3)
+
+
+def test_prefetch_feeds_train_step():
+    from s2sr_tpu.training.data import PairSampler, prefetch
+
+    params, opt_state = init_training(TINY)
+    step, _ = make_train_step(TINY)
+    sampler = PairSampler(crop_lr=8, scale=2, batch_size=2, seed=2)
+    losses = []
+    for lr_b, hr_b in prefetch(sampler, steps=3):
+        params, opt_state, loss = step(params, opt_state, lr_b, hr_b)
+        losses.append(float(loss))
+    assert len(losses) == 3 and all(np.isfinite(losses))
