@@ -93,3 +93,32 @@ def test_prefetch_feeds_train_step():
         params, opt_state, loss = step(params, opt_state, lr_b, hr_b)
         losses.append(float(loss))
     assert len(losses) == 3 and all(np.isfinite(losses))
+
+
+def test_gan_train_step():
+    from s2sr_tpu.models.rrdbnet import RRDBNet
+    from s2sr_tpu.training.gan import GanConfig, UNetDiscriminator, make_gan_train_step
+
+    cfg = GanConfig(base=TINY, num_feat_d=4)
+    step, disc, g_tx, d_tx = make_gan_train_step(cfg)
+    net = RRDBNet(num_feat=TINY.num_feat, num_block=TINY.num_block,
+                  num_grow_ch=TINY.num_grow_ch, scale=TINY.scale)
+    g_params = net.init(jax.random.PRNGKey(0))
+    d_params = disc.init(jax.random.PRNGKey(1))
+    g_opt = g_tx.init(g_params)
+    d_opt = d_tx.init(d_params)
+    lr, hr = _data(batch=2, h=8, w=8)
+    for _ in range(2):
+        g_params, d_params, g_opt, d_opt, metrics = step(
+            g_params, d_params, g_opt, d_opt, lr, hr)
+    for key in ("g_loss", "d_loss", "pixel", "adv"):
+        assert np.isfinite(float(metrics[key])), key
+
+
+def test_discriminator_shapes():
+    from s2sr_tpu.training.gan import UNetDiscriminator
+
+    disc = UNetDiscriminator(num_feat=4)
+    params = disc.init(jax.random.PRNGKey(0))
+    out = disc.apply(params, np.zeros((2, 32, 32, 3), np.float32))
+    assert out.shape == (2, 32, 32, 1)
