@@ -101,7 +101,11 @@ def create_app(settings: Optional[Settings] = None,
     tiles_dir = data_dir / "tiles"
     source_dir = data_dir / "source"
     vectors_dir = data_dir / "vectors"
-    static_dir = static_dir or Path("static")
+    if static_dir is None:
+        static_dir = Path("static")
+        if not static_dir.exists():
+            # fall back to the client bundled next to the package
+            static_dir = Path(__file__).resolve().parent.parent.parent / "static"
 
     from .persistence import DurableJobStore
 
