@@ -77,48 +77,59 @@ def pack_rdb_weights(p: Params, dtype=jnp.bfloat16):
     wg5 = gk(5, 4)
     biases = jnp.concatenate([p[f"conv{k}"]["bias"] for k in (1, 2, 3, 4)])
     b5 = p["conv5"]["bias"]
-    cast = lambda a: a.astype(dtype)
+    def flatten_taps(w):
+        # (3, 3, Cin, Cout) → (3, 3·Cin, Cout): kernel rows ordered to
+        # match the b3 lane layout [shift+1 (dx0) | src (dx1) | shift−1 (dx2)]
+        return w.reshape(w.shape[0], 3 * w.shape[2], w.shape[3])
+
+    cast = lambda a: flatten_taps(a).astype(dtype)
     return (tuple(map(cast, (wx, wg2, wg3, wg4, wg5))),
             biases.astype(jnp.float32)[None, :],
             b5.astype(jnp.float32)[None, :])
 
 
-def _conv_chunks(src_ref, y0, oh, kernel, cout, emit, chunk=64):
-    """3×3 conv over full-width rows [y0-1, y0-1+oh+2), streamed in
-    output-channel chunks to bound VMEM (the f32 accumulator is the
-    fattest temporary; chunking keeps it ≤ (oh, Sw, 64) f32).
+def _fill_b3(src_ref, b3_ref):
+    """b3 = [shift(src,+1) | src | shift(src,−1)] along lanes.
 
-    Column shifts are static pad+slice (Mosaic has no rank-3 sublane
-    rotate); the vacated edge columns are zero and land only in output
-    columns the caller masks. ``emit(c0, acc)`` receives each finished
-    (oh, Sw, ≤chunk) f32 block.
+    One 3×-wide staging copy per conv lets each kernel row contract
+    K = 3·Cin in a single MXU pass (3 matmuls per conv instead of 9
+    narrow ones + 9 shifted temporaries). The vacated edge columns are
+    zero — they reach only output columns the stage masks discard.
     """
     sw = src_ref.shape[1]
     cin = src_ref.shape[2]
+    src = src_ref[:]
+    b3_ref[:, :, 0:cin] = jnp.pad(
+        src, ((0, 0), (1, 0), (0, 0)))[:, :sw, :]
+    b3_ref[:, :, cin:2 * cin] = src
+    b3_ref[:, :, 2 * cin:3 * cin] = jnp.pad(
+        src, ((0, 0), (0, 1), (0, 0)))[:, 1:, :]
+
+
+def _conv_chunks(b3_ref, y0, oh, kernel3, cout, emit, chunk=64):
+    """3×3 conv over full-width rows [y0-1, y0-1+oh+2) of the staged
+    ``b3`` buffer (see :func:`_fill_b3`), streamed in output-channel
+    chunks to bound the f32 accumulator. ``kernel3``: (3, 3·Cin, Cout)
+    — tap columns pre-flattened at pack time."""
+    sw = b3_ref.shape[1]
+    k3 = b3_ref.shape[2]
     for c0 in range(0, cout, chunk):
         cc = min(chunk, cout - c0)
         acc = jnp.zeros((oh, sw, cc), jnp.float32)
         for dy in range(3):
-            rows = src_ref[y0 - 1 + dy:y0 - 1 + dy + oh]   # (oh, Sw, Cin)
-            for dx in range(3):
-                if dx == 0:
-                    shifted = jnp.pad(rows, ((0, 0), (1, 0), (0, 0)))[:, :sw, :]
-                elif dx == 2:
-                    shifted = jnp.pad(rows, ((0, 0), (0, 1), (0, 0)))[:, 1:, :]
-                else:
-                    shifted = rows
-                flat = shifted.reshape(oh * sw, cin)
-                part = jax.lax.dot_general(
-                    flat, kernel[dy, dx, :, c0:c0 + cc],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                acc = acc + part.reshape(oh, sw, cc)
+            rows = b3_ref[y0 - 1 + dy:y0 - 1 + dy + oh]    # (oh, Sw, 3Cin)
+            flat = rows.reshape(oh * sw, k3)
+            part = jax.lax.dot_general(
+                flat, kernel3[dy, :, c0:c0 + cc],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + part.reshape(oh, sw, cc)
         emit(c0, acc)
 
 
 def _rdb_kernel(hparams, x_hbm, wx, wg2, wg3, wg4, wg5, b14, b5,
-                out_ref, in_vmem, g_buf, px_buf, x5acc, sem):
+                out_ref, in_vmem, g_buf, px_buf, x5acc, b3, sem):
     """One T×T tile of the fused RDB. See module docstring."""
     img_h, img_w, tile = hparams
     ty = pl.program_id(1)
@@ -166,7 +177,8 @@ def _rdb_kernel(hparams, x_hbm, wx, wg2, wg3, wg4, wg5, b14, b5,
         else:                                            # p5 → x5 accumulator
             x5acc[1:1 + oh] = acc
 
-    _conv_chunks(in_vmem, 1, oh, wx[:], 4 * G + NF, emit_px)
+    _fill_b3(in_vmem, b3)
+    _conv_chunks(b3, 1, oh, wx[:], 4 * G + NF, emit_px)
 
     # zero g so unwritten lane groups contribute nothing
     g_buf[:] = jnp.zeros_like(g_buf)
@@ -183,13 +195,15 @@ def _rdb_kernel(hparams, x_hbm, wx, wg2, wg3, wg4, wg5, b14, b5,
             g_buf[1:1 + oh, :, (k - 1) * G:k * G] = jnp.where(
                 stage_mask(k)[1:1 + oh], xk, 0.0).astype(dtype)
 
-        _conv_chunks(g_buf, 1, oh, wg[:], G, emit_xk)
+        _fill_b3(g_buf, b3)
+        _conv_chunks(b3, 1, oh, wg[:], G, emit_xk)
 
     # ---- stage 5 ------------------------------------------------------
     def emit_y5(c0, acc):
         x5acc[1:1 + oh] = x5acc[1:1 + oh] + acc
 
-    _conv_chunks(g_buf, 1, oh, wg5[:], NF, emit_y5)
+    _fill_b3(g_buf, b3)
+    _conv_chunks(b3, 1, oh, wg5[:], NF, emit_y5)
     x5 = x5acc[1:1 + oh] + b5[0]
     out_full = x5 * 0.2 + in_vmem[1:1 + oh, :, :NF].astype(jnp.float32)
     out_full = jnp.where(stage_mask(HALO)[1:1 + oh], out_full, 0.0)
@@ -233,12 +247,13 @@ def rdb_pallas(x: jnp.ndarray, packed, b14, b5, *, interpret=False):
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, hp, wp, NF), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=22 * 1024 * 1024),
+            vmem_limit_bytes=26 * 1024 * 1024),
         scratch_shapes=[
             pltpu.VMEM((sw, sw, 4 * G), x.dtype),           # in_vmem (128 lanes)
             pltpu.VMEM((sw, sw, 4 * G), x.dtype),           # g_buf
             pltpu.VMEM((sw, sw, 4 * G), x.dtype),           # px_buf
             pltpu.VMEM((sw, sw, NF), jnp.float32),          # x5acc
+            pltpu.VMEM((sw, sw, 3 * 4 * G), x.dtype),       # b3 staging
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -90,3 +90,27 @@ def test_convert_weights_cli(tmp_path):
     r = run_cli("s2sr_tpu.cli.convert_weights", str(pth), cwd=tmp_path)
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / "model.npz").exists()
+
+
+def test_fetch_scene_cutline_offline(tmp_path):
+    """Offline: synthesizes a scene, then applies the AOI cutline."""
+    from s2sr_tpu.utils import write_json
+
+    aoi = tmp_path / "aoi.geojson"
+    write_json({"type": "Feature", "geometry": {
+        "type": "Polygon", "coordinates": [[
+            [35.01, 32.01], [35.04, 32.01], [35.03, 32.04],
+            [35.01, 32.04], [35.01, 32.01]]]}}, aoi)
+    r = run_cli("s2sr_tpu.cli.fetch_scene", "--aoi", str(aoi),
+                "-o", str(tmp_path / "src"), "--cutline", cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    from s2sr_tpu.geo import read_geotiff
+
+    cut = list((tmp_path / "src").glob("*_cutline.tif"))
+    assert cut
+    raster = read_geotiff(cut[0])
+    assert raster.count == 4                        # alpha band added
+    alpha = raster.band(4)
+    assert (alpha == 0).any() and (alpha == 255).any()
+    # pixels outside the polygon are zeroed
+    assert (raster.data[alpha == 0][:, :3] == 0).all()
