@@ -247,7 +247,7 @@ def rdb_pallas(x: jnp.ndarray, packed, b14, b5, *, interpret=False):
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, hp, wp, NF), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=26 * 1024 * 1024),
+            vmem_limit_bytes=48 * 1024 * 1024),
         scratch_shapes=[
             pltpu.VMEM((sw, sw, 4 * G), x.dtype),           # in_vmem (128 lanes)
             pltpu.VMEM((sw, sw, 4 * G), x.dtype),           # g_buf

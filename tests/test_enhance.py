@@ -6,9 +6,10 @@ blur ops ≤1 LSB (cv2 uses fixed-point tables internally); full chains
 are additionally gated on PSNR.
 """
 
-import cv2
 import numpy as np
 import pytest
+
+cv2 = pytest.importorskip("cv2")
 
 import jax.numpy as jnp
 

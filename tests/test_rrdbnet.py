@@ -8,7 +8,8 @@ architecture and the OIHW→HWIO/stacked-body weight conversion.
 
 import numpy as np
 import pytest
-import torch
+
+torch = pytest.importorskip("torch")
 import torch.nn.functional as F
 
 import jax
