@@ -273,3 +273,25 @@ class TestCogReader:
             assert total < p.stat().st_size
         finally:
             server.shutdown()
+
+
+class TestCodecCompressionVariants:
+    @pytest.mark.parametrize("compression", ["tiff_lzw", "packbits", "tiff_deflate"])
+    def test_decode_pil_compressed(self, tmp_path, rng, compression):
+        """Our strip decoders vs PIL/libtiff-encoded files."""
+        from PIL import Image
+
+        data = rng.integers(0, 255, (90, 130, 3)).astype(np.uint8)
+        p = tmp_path / f"{compression}.tif"
+        Image.fromarray(data).save(p, compression=compression)
+        back = read_geotiff(p)
+        np.testing.assert_array_equal(back.data, data)
+
+    def test_decode_pil_lzw_16bit(self, tmp_path, rng):
+        from PIL import Image
+
+        data = rng.integers(0, 65535, (64, 48)).astype(np.uint16)
+        p = tmp_path / "lzw16.tif"
+        Image.fromarray(data).save(p, compression="tiff_lzw")
+        back = read_geotiff(p)
+        np.testing.assert_array_equal(back.data[:, :, 0], data)
