@@ -75,3 +75,64 @@ def test_wow_path_matches_reference_oracle(tmp_path):
     out = oracle_forward(sd, x, nb=NB, scale=4).squeeze(0).permute(1, 2, 0)
     sr_want = (out.numpy() * 255.0).clip(0, 255).astype(np.uint8)[:, :, ::-1]
     np.testing.assert_array_equal(np.asarray(sr), sr_want)
+
+
+def test_tiled_wow_sr_matches_reference_tile_loop(tmp_path):
+    """An image above the h·w > tile²·4 threshold exercises the batched
+    halo engine; the oracle replays the reference's sequential tile loop
+    (``cnn_super_resolution.py:236-280``) with the torch model."""
+    from s2sr_tpu.fetch.synthetic import synthetic_fields
+    from s2sr_tpu.models.engine import SREngine
+
+    sd = make_state_dict()
+    params = convert_rrdbnet_state_dict(sd)
+    weights_dir = tmp_path / "weights"
+    save_params(params, weights_dir / "realesrgan_x4.npz")
+
+    img = synthetic_fields(size=(300, 280), seed=9)
+
+    # oracle: reference tile loop, tile=128/pad=10 (small to multi-tile)
+    tile, pad, scale = 128, 10, 4
+    bgr = img[:, :, ::-1].astype(np.float32) / 255.0
+    h, w, _ = bgr.shape
+    out = np.zeros((h * scale, w * scale, 3), np.float32)
+    tiles_x = (w + tile - 1) // tile
+    tiles_y = (h + tile - 1) // tile
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            x1, y1 = tx * tile, ty * tile
+            x2 = min(x1 + tile + pad * 2, w)
+            y2 = min(y1 + tile + pad * 2, h)
+            x1 = max(x2 - tile - pad * 2, 0)
+            y1 = max(y2 - tile - pad * 2, 0)
+            t_in = torch.from_numpy(bgr[y1:y2, x1:x2]).permute(2, 0, 1)[None]
+            t_out = oracle_forward(sd, t_in, nb=NB, scale=scale)
+            t_out = t_out.squeeze(0).permute(1, 2, 0).numpy()
+            ox1, oy1, ox2, oy2 = (x1 * scale, y1 * scale,
+                                  x2 * scale, y2 * scale)
+            p = pad * scale
+            if tx > 0:
+                t_out = t_out[:, p:]
+                ox1 += p
+            if ty > 0:
+                t_out = t_out[p:]
+                oy1 += p
+            if tx < tiles_x - 1:
+                t_out = t_out[:, :-p]
+                ox2 -= p
+            if ty < tiles_y - 1:
+                t_out = t_out[:-p]
+                oy2 -= p
+            out[oy1:oy2, ox1:ox2] = t_out
+    want = (out * 255.0).clip(0, 255).astype(np.uint8)[:, :, ::-1]
+
+    engine = SREngine("realesrgan_x4", weights_dir=weights_dir,
+                      dtype="float32", tile_size=tile, tile_pad=pad,
+                      batch_size=2)
+    got = engine.enhance(img)
+    # float-associativity knife edges at the *255 truncation can flip
+    # isolated pixels by one level (~1e-5 of pixels); anything more
+    # would indicate a tiling/stitch bug
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-4
