@@ -278,3 +278,54 @@ class TestExtractionV2:
         r = read_geotiff(path)
         assert r.data.shape == (64, 64, 3)
         assert r.data.dtype == np.uint16
+
+
+class TestWatershedQuality:
+    def test_gradient_watershed_agrees_with_cv2(self):
+        """Quantified agreement with cv2.watershed on a gradient surface
+        (SURVEY §7 hard-part #2). One marker per field basin — the
+        configuration the v2 pipeline produces after seed pruning. (With
+        multiple markers on one flat background plateau cv2's
+        equal-priority carve-up is implementation-defined and a single
+        marker absorbs the basin; our geodesic split differs there by
+        design.)"""
+        import cv2
+        from scipy import ndimage
+
+        rng = np.random.default_rng(5)
+        base = np.zeros((120, 120), np.float32)
+        base[10:60, 10:55] = 0.7
+        base[65:110, 20:70] = 0.5
+        base[15:50, 70:110] = 0.85
+        ndvi = ndimage.gaussian_filter(
+            base + rng.normal(0, 0.02, base.shape).astype(np.float32), 2.0)
+        gx = ndimage.sobel(ndvi, axis=1)
+        gy = ndimage.sobel(ndvi, axis=0)
+        gradient = np.sqrt(gx**2 + gy**2).astype(np.float32)
+
+        markers = np.zeros((120, 120), np.int32)
+        markers[30, 30] = 1      # centre of each plateau
+        markers[85, 45] = 2
+        markers[30, 90] = 3
+        markers[3, 3] = 4        # one background marker
+
+        g_u8 = (gradient / gradient.max() * 255).astype(np.uint8)
+        m_cv = markers.copy()
+        cv2.watershed(cv2.cvtColor(g_u8, cv2.COLOR_GRAY2BGR), m_cv)
+        m_cv[m_cv == -1] = 0
+
+        got = np.asarray(ops.watershed_gradient(
+            jnp.asarray(markers), jnp.asarray(gradient),
+            jnp.asarray(np.ones((120, 120), np.uint8)), 256))
+
+        both = (m_cv > 0) & (got > 0)
+        agree = (m_cv[both] == got[both]).mean()
+        assert agree > 0.9, f"watershed agreement {agree:.3f}"
+        # per-basin IoU for the three field basins; the weakest ridge
+        # (plateau 0.5) shifts its saddle boundary by a few px between
+        # the two flood orders — low-information zones later absorbed by
+        # simplification/area filters
+        for lbl in (1, 2, 3):
+            inter = ((m_cv == lbl) & (got == lbl)).sum()
+            union = ((m_cv == lbl) | (got == lbl)).sum()
+            assert inter / union > 0.7, f"basin {lbl} IoU {inter/union:.2f}"
