@@ -150,3 +150,62 @@ def warp_to_mercator(
         out = np.concatenate(
             [out, (alpha[..., None] * 255).astype(out.dtype)], axis=-1)
     return GeoTiff(out, transform=dst_transform, crs=CRS(3857))
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def warp_lanczos_batch(
+    src: jnp.ndarray,        # (H, W, C) float32
+    ctrl: jnp.ndarray,       # (B, G, G, 2) source (col, row) at controls
+    out_h: int,
+    out_w: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lanczos-3 (6×6 tap) variant of :func:`warp_bilinear_batch` — the
+    high-zoom resampling the reference requests from gdal2tiles for
+    z18–20 tiles (``server/app/esrgan_tiles.py:138``). Separable
+    windowed-sinc weights, edge-replicated taps, alpha from source
+    coverage like the bilinear path."""
+    h, w, c = src.shape
+    g = ctrl.shape[1]
+
+    py = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h * (g - 1)
+    px = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w * (g - 1)
+    y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, g - 2)
+    x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, g - 2)
+    fy = (py - y0)[None, :, None, None]
+    fx = (px - x0)[None, None, :, None]
+    c00 = ctrl[:, y0][:, :, x0]
+    c01 = ctrl[:, y0][:, :, x0 + 1]
+    c10 = ctrl[:, y0 + 1][:, :, x0]
+    c11 = ctrl[:, y0 + 1][:, :, x0 + 1]
+    coords = (c00 * (1 - fy) * (1 - fx) + c01 * (1 - fy) * fx
+              + c10 * fy * (1 - fx) + c11 * fy * fx)
+    col, row = coords[..., 0] - 0.5, coords[..., 1] - 0.5
+
+    valid = ((col > -1.0) & (col < w) & (row > -1.0) & (row < h))
+
+    def lanczos3(x):
+        ax = jnp.abs(x)
+        pix = jnp.pi * x
+        val = jnp.where(
+            ax < 1e-6, 1.0,
+            3.0 * jnp.sin(pix) * jnp.sin(pix / 3.0)
+            / jnp.maximum(pix * pix, 1e-12))
+        return jnp.where(ax < 3.0, val, 0.0)
+
+    ci = jnp.floor(col).astype(jnp.int32)
+    ri = jnp.floor(row).astype(jnp.int32)
+    acc = jnp.zeros(col.shape + (c,), jnp.float32)
+    wsum = jnp.zeros(col.shape + (1,), jnp.float32)
+    for dy in range(-2, 4):
+        ty = ri + dy
+        wy = lanczos3(row - ty.astype(jnp.float32))[..., None]
+        tyc = jnp.clip(ty, 0, h - 1)
+        for dx in range(-2, 4):
+            tx = ci + dx
+            wx = lanczos3(col - tx.astype(jnp.float32))[..., None]
+            txc = jnp.clip(tx, 0, w - 1)
+            weight = wy * wx
+            acc = acc + weight * src[tyc, txc]
+            wsum = wsum + weight
+    out = acc / jnp.maximum(wsum, 1e-12)
+    return out, valid.astype(jnp.float32)

@@ -2,8 +2,7 @@
 
 Capability parity with ``server/app/esrgan_tiles.py:23-193``: WOW SR on
 the source raster, then an XYZ pyramid at z18–20 into ``tiles_esrgan/``
-(the reference uses lanczos resampling at these over-zoomed levels; the
-device warp's bilinear taps are visually equivalent at ×4+ overzoom).
+(lanczos-3 resampling at these over-zoomed levels, like the reference).
 Supports the same resume point: ``skip_sr`` + ``sr_output`` reuses an
 existing SR raster (``esrgan_tiles.py:101-108``).
 """
@@ -49,7 +48,8 @@ def run_esrgan_and_tiles(
     tiles_dir = output_dir / "tiles_esrgan"
     with timer.stage(f"tiles z{min_zoom}-{max_zoom}"):
         raster = read_geotiff(sr_tif)
-        pyramid_tiles(raster, tiles_dir, min_zoom=min_zoom, max_zoom=max_zoom)
+        pyramid_tiles(raster, tiles_dir, min_zoom=min_zoom, max_zoom=max_zoom,
+                      resampling="lanczos")
         info = get_raster_info(sr_tif)
         create_tileset_metadata(
             tiles_dir, info.bounds_4326, min_zoom, max_zoom,

@@ -24,7 +24,7 @@ import numpy as np
 from ..geo.affine import Affine
 from ..geo.crs import CRS, transform_bounds
 from ..geo.geotiff import GeoTiff
-from ..geo.warp import control_grid, warp_bilinear_batch
+from ..geo.warp import control_grid, warp_bilinear_batch, warp_lanczos_batch
 from ..utils import ensure_directory, setup_logging
 from .mercator import TILE_SIZE, resolution, tile_bounds, tiles_for_bounds
 from .png import encode_png
@@ -41,6 +41,7 @@ def _base_zoom_tiles(
     tile_size: int = TILE_SIZE,
     batch: int = 32,
     grid: int = 17,
+    resampling: str = "bilinear",
 ) -> TileStore:
     """Warp source → all intersecting XYZ tiles at *zoom* (device batched)."""
     assert raster.crs is not None
@@ -62,8 +63,9 @@ def _base_zoom_tiles(
             )
             for x, y in chunk
         ])
-        rgb, alpha = warp_bilinear_batch(src, jnp.asarray(ctrls),
-                                         tile_size, tile_size)
+        warp_fn = (warp_lanczos_batch if resampling == "lanczos"
+                   else warp_bilinear_batch)
+        rgb, alpha = warp_fn(src, jnp.asarray(ctrls), tile_size, tile_size)
         rgb = np.clip(np.round(np.asarray(rgb)), 0, 255).astype(np.uint8)
         alpha_u8 = (np.asarray(alpha) * 255).astype(np.uint8)
         for j, key in enumerate(chunk):
@@ -105,11 +107,13 @@ def generate_xyz_tiles(
     tile_size: int = TILE_SIZE,
     batch: int = 32,
     png_level: int = 3,
+    resampling: str = "bilinear",
 ) -> Path:
     """Full pyramid → ``{z}/{x}/{y}.png`` tree under *output_dir*."""
     output_dir = ensure_directory(output_dir)
     logger.info("Generating XYZ tiles: zoom %d-%d", min_zoom, max_zoom)
-    level = _base_zoom_tiles(raster, max_zoom, tile_size, batch)
+    level = _base_zoom_tiles(raster, max_zoom, tile_size, batch,
+                             resampling=resampling)
     count = 0
     for z in range(max_zoom, min_zoom - 1, -1):
         for (x, y), tile in level.items():
