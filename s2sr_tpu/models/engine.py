@@ -160,9 +160,21 @@ def get_engine(model_name: str = "realesrgan_x4", **kwargs) -> SREngine:
 
     The reference constructs + destroys the model per job
     (``wow_sr.py:93-97``), reloading weights every request; here the
-    compiled model and its params stay resident on device.
+    compiled model and its params stay resident on device. When
+    ``Settings.mesh_shape`` is configured (e.g. ``"dp=4"``), the halo
+    window batch is sharded over the device mesh.
     """
-    key = (model_name, tuple(sorted(kwargs.items())))
+    if "mesh" not in kwargs:
+        from ..config import get_settings
+
+        spec = get_settings().mesh_shape
+        if spec:
+            from ..parallel.mesh import build_mesh
+
+            kwargs["mesh"] = build_mesh(spec)
+    mesh = kwargs.get("mesh")
+    key = (model_name, id(mesh),
+           tuple(sorted((k, v) for k, v in kwargs.items() if k != "mesh")))
     if key not in _ENGINE_CACHE:
         _ENGINE_CACHE[key] = SREngine(model_name, **kwargs)
     return _ENGINE_CACHE[key]

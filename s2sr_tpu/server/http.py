@@ -253,6 +253,13 @@ async def _handle_connection(app: App, reader: asyncio.StreamReader,
                 key, _, value = line.decode("latin1").partition(":")
                 headers[key.strip().lower()] = value.strip()
             length = int(headers.get("content-length", 0))
+            if length > 256 * 1024 * 1024:  # hard transport cap (routes
+                # apply their own tighter limits, e.g. the 50 MB upload)
+                writer.write(
+                    b"HTTP/1.1 413 Payload Too Large\r\n"
+                    b"Content-Length: 0\r\nConnection: close\r\n\r\n")
+                await writer.drain()
+                break
             body = await reader.readexactly(length) if length else b""
 
             split = urlsplit(target)

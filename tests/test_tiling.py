@@ -155,3 +155,33 @@ def test_rrdbnet_through_tiling_matches_single_pass(rng):
         tile=32, pad=8, scale=2, batch_size=4,
     ))
     assert np.abs(whole - tiled).max() < 0.5 / 255.0
+
+
+def test_engine_sharded_matches_unsharded(rng, tmp_path):
+    """Real (tiny) RRDBNet through SREngine with an 8-device dp mesh —
+    pixel-identical to the single-device path."""
+    import jax
+    import torch
+
+    from s2sr_tpu.models.engine import SREngine
+    from s2sr_tpu.models.weights import convert_rrdbnet_state_dict, save_params
+    from s2sr_tpu.parallel import build_mesh
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_rrdbnet import make_state_dict
+
+    sd = make_state_dict()
+    params = convert_rrdbnet_state_dict(sd)
+    weights_dir = tmp_path / "w"
+    save_params(params, weights_dir / "realesrgan_x4.npz")
+
+    img = (rng.random((280, 270, 3)) * 255).astype(np.uint8)
+    plain = SREngine("realesrgan_x4", weights_dir=weights_dir,
+                     dtype="float32", tile_size=128, tile_pad=10,
+                     batch_size=4)
+    sharded = SREngine("realesrgan_x4", weights_dir=weights_dir,
+                       dtype="float32", tile_size=128, tile_pad=10,
+                       batch_size=4, mesh=build_mesh("dp=8"))
+    a = plain.enhance(img)
+    b = sharded.enhance(img)
+    np.testing.assert_array_equal(a, b)
