@@ -45,11 +45,15 @@ def clahe_u8(
     tile_pixels = th * tw
     clip = max(int(clip_limit * tile_pixels / 256.0), 1)
 
-    # --- per-tile histograms -----------------------------------------
+    # --- per-tile histograms (scatter-add: O(T·256) memory; a one-hot
+    # formulation is O(T·tile_px·256) and OOMs on large SR outputs) ----
     tiles = padded.reshape(tiles_y, th, tiles_x, tw)
     tiles = tiles.transpose(0, 2, 1, 3).reshape(tiles_y * tiles_x, tile_pixels)
-    onehot = (tiles[:, :, None] == jnp.arange(256, dtype=channel.dtype)).astype(jnp.int32)
-    hist = onehot.sum(axis=1)  # (T, 256)
+
+    def tile_hist(tile_vals):
+        return jnp.zeros((256,), jnp.int32).at[tile_vals.astype(jnp.int32)].add(1)
+
+    hist = jax.vmap(tile_hist)(tiles)  # (T, 256)
 
     # --- clip + redistribute (cv2 integer semantics) ------------------
     excess = jnp.maximum(hist - clip, 0).sum(axis=1, keepdims=True)
