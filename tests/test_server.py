@@ -186,7 +186,7 @@ def test_pipeline_end_to_end_offline(app):
         "min_zoom": 12, "max_zoom": 13}))
     assert payload["steps"] == ["fetch", "original_tiles",
                                 "super_resolution", "sr_tiles"]
-    job = wait_for(app, payload["job_id"], timeout=300)
+    job = wait_for(app, payload["job_id"], timeout=900)
     assert job["status"] == "completed", job["message"]
     names = [s["name"] for s in job["steps"]]
     assert names == ["fetch", "original_tiles", "super_resolution", "sr_tiles"]
