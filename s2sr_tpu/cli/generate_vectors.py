@@ -1,7 +1,6 @@
 """CLI: field-vector generation (ref ``generate_vectors.py:60-234``)."""
 import argparse
 import time
-from pathlib import Path
 
 from ..pipelines.generate_vectors import generate_vectors
 from ..vectors.extraction import ExtractionConfig

@@ -16,7 +16,6 @@ All network paths honour ``Settings.offline`` (zero-egress safety).
 
 from __future__ import annotations
 
-import io
 import time
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta

@@ -13,7 +13,7 @@ from __future__ import annotations
 import io
 import struct
 from pathlib import Path
-from typing import Dict, Optional, Tuple, Union
+from typing import Dict, Optional, Union
 
 import numpy as np
 

@@ -21,7 +21,6 @@ random init offline.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Any, Dict
 
 import jax

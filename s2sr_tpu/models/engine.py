@@ -17,9 +17,7 @@ in bf16, optionally sharded over a device mesh.
 
 from __future__ import annotations
 
-from functools import partial
 from pathlib import Path
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ cv2 specifics reproduced here:
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ Routes (reference line references in handlers):
 
 from __future__ import annotations
 
-import json
 from datetime import datetime
 from pathlib import Path
 from typing import Optional
@@ -33,7 +32,7 @@ from .http import (
     file_response,
     json_response,
 )
-from .jobs import JobRunner, JobStore
+from .jobs import JobRunner
 
 logger = setup_logging("s2sr_tpu.server")
 

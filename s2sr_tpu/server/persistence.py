@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 import threading
 from pathlib import Path
-from typing import Optional
 
 from ..utils import setup_logging
 from .jobs import JobStore

@@ -10,10 +10,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Optional
 
 from ..geo.crs import CRS, transform_bounds
-from ..geo.geotiff import GeoTiff, read_geotiff, write_geotiff
+from ..geo.geotiff import read_geotiff, write_geotiff
 from ..geo.warp import warp_to_mercator
 from ..utils import setup_logging, write_json
 from . import pyramid

@@ -11,7 +11,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Any, Optional, Tuple
 
-import jax
 from orbax import checkpoint as ocp
 
 from ..utils import setup_logging

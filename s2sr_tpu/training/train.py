@@ -17,7 +17,6 @@ fine-tuning objective.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

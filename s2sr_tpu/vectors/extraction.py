@@ -26,7 +26,7 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..geo import Affine, CRS, GeoTiff, read_geotiff, write_geotiff
+from ..geo import Affine, GeoTiff, read_geotiff
 from ..ops.color import rgb_to_hsv_u8
 from ..utils import ensure_directory, read_json, setup_logging, write_json
 from . import ops
