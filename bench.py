@@ -24,6 +24,12 @@ BASELINE_MPIX_S = 0.007  # reference CPU observed rate (BASELINE.md)
 
 
 def main() -> None:
+    from s2sr_tpu.utils.jax_cache import enable_compilation_cache
+
+    try:
+        enable_compilation_cache()
+    except Exception:
+        pass
     from s2sr_tpu.models.engine import SREngine
     from s2sr_tpu.fetch.synthetic import synthetic_fields
 

@@ -32,6 +32,15 @@ from .weights import resolve_params
 logger = setup_logging("s2sr_tpu.engine")
 
 
+def _ensure_cache():
+    from ..utils.jax_cache import enable_compilation_cache
+
+    try:
+        enable_compilation_cache()
+    except Exception:  # cache is an optimisation, never fatal
+        pass
+
+
 class SREngine:
     """Loaded, jit-ready super-resolution model."""
 
@@ -46,6 +55,7 @@ class SREngine:
         bgr_order: bool = True,
         mesh=None,
     ):
+        _ensure_cache()
         config = get_model_config(model_name)
         if config["family"] not in ("rrdbnet", "swinir"):
             raise ValueError(
