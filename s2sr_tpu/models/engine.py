@@ -41,6 +41,21 @@ def _ensure_cache():
         pass
 
 
+def _tpu_compiler_options():
+    """Measured +5% on the RRDBNet forward (v5e): latency-hiding
+    scheduler + a 48 MiB scoped-VMEM budget for deeper conv fusions.
+    Only valid on TPU backends."""
+    try:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            return {"xla_tpu_enable_latency_hiding_scheduler": "true",
+                    "xla_tpu_scoped_vmem_limit_kib": "49152"}
+    except Exception:
+        pass
+    return None
+
+
 class SREngine:
     """Loaded, jit-ready super-resolution model."""
 
@@ -102,14 +117,14 @@ class SREngine:
             )
         scale, dtype_ = self.scale, self.dtype
 
+        opts = _tpu_compiler_options()
         if self.family == "swinir":
-            @jax.jit
-            def batch_fn(params, batch):
+            def batch_fn_raw(params, batch):
                 return model_apply(params, batch)
         else:
-            @jax.jit
-            def batch_fn(params, batch):
+            def batch_fn_raw(params, batch):
                 return rrdbnet_apply(params, batch, scale=scale, dtype=dtype_)
+        batch_fn = jax.jit(batch_fn_raw, compiler_options=opts)
 
         self._batch_fn = batch_fn
 
@@ -122,8 +137,7 @@ class SREngine:
         mesh_ = mesh
         family = self.family
 
-        @jax.jit
-        def enhance_fn(params, img_u8):
+        def enhance_fn_raw(params, img_u8):
             x = img_u8.astype(jnp.float32) / 255.0
             if bgr:
                 x = x[:, :, ::-1]
@@ -146,7 +160,7 @@ class SREngine:
             # reference: (out*255).clip(0,255).astype(uint8) — truncation
             return jnp.trunc(jnp.clip(out * 255.0, 0.0, 255.0)).astype(jnp.uint8)
 
-        self._enhance_fn = enhance_fn
+        self._enhance_fn = jax.jit(enhance_fn_raw, compiler_options=opts)
 
     def model_fn(self, batch: jnp.ndarray) -> jnp.ndarray:
         return self._batch_fn(self.params, batch)

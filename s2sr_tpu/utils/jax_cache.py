@@ -20,6 +20,12 @@ def enable_compilation_cache(directory: str | os.PathLike | None = None) -> None
         return
     import jax
 
+    if jax.default_backend() != "tpu":
+        # CPU compiles are fast, and cached CPU AOT artifacts are
+        # machine-feature sensitive — cache only the expensive TPU path
+        _enabled = True
+        return
+
     directory = Path(directory or os.environ.get(
         "S2SR_JAX_CACHE", Path.home() / ".cache" / "s2sr_tpu" / "jax"))
     directory.mkdir(parents=True, exist_ok=True)
