@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 from pathlib import Path
 from typing import List, Optional, Tuple
 
@@ -51,7 +51,7 @@ class Scene:
         try:
             acq = datetime.fromisoformat(raw.replace("Z", "+00:00"))
         except ValueError:
-            acq = datetime.utcnow()
+            acq = datetime.now(timezone.utc).replace(tzinfo=None)
         return cls(
             scene_id=feature.get("id", "unknown"),
             acquisition_date=acq,
@@ -82,7 +82,7 @@ class PublicSentinel2Client:
             return []
         import requests
 
-        end = datetime.utcnow()
+        end = datetime.now(timezone.utc).replace(tzinfo=None)
         start = end - timedelta(days=max_age_days)
         payload = {
             "collections": ["sentinel-2-l2a"],
@@ -260,7 +260,7 @@ class UP42Client:
                        max_cloud: float = 30.0) -> List[Scene]:
         import requests
 
-        end = datetime.utcnow()
+        end = datetime.now(timezone.utc).replace(tzinfo=None)
         start = end - timedelta(days=max_age_days)
         payload = {
             "datetime": (f"{start:%Y-%m-%d}T00:00:00Z/"

@@ -10,7 +10,7 @@ produces the deterministic synthetic multiband fixture.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 from pathlib import Path
 from typing import Optional, Tuple
 
@@ -37,7 +37,7 @@ class FetchConfig:
 def _stac_search(aoi_geometry: dict, config: FetchConfig) -> Optional[Scene]:
     import requests
 
-    end = datetime.utcnow()
+    end = datetime.now(timezone.utc).replace(tzinfo=None)
     start = end - timedelta(days=config.max_age_days)
     payload = {
         "collections": list(config.collections),

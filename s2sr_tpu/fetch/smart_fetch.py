@@ -15,7 +15,7 @@ Decision rules identical to the reference (``server/app/smart_fetch.py``):
 
 from __future__ import annotations
 
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 from pathlib import Path
 from typing import Optional, Tuple
 
@@ -73,7 +73,7 @@ def select_best_local_image(
     source_dir: Path, max_age_days: int = 30, max_cloud_cover: float = 30.0
 ) -> Optional[dict]:
     images = get_local_images(source_dir)
-    cutoff = datetime.utcnow() - timedelta(days=max_age_days)
+    cutoff = datetime.now(timezone.utc).replace(tzinfo=None) - timedelta(days=max_age_days)
     valid = []
     for img in images:
         acq = img["acquisition_date"]
@@ -100,7 +100,7 @@ def check_remote_catalog(
         return None
     import requests
 
-    end = datetime.utcnow()
+    end = datetime.now(timezone.utc).replace(tzinfo=None)
     start = end - timedelta(days=max_age_days)
     payload = {
         "collections": ["sentinel-2-l2a"],
@@ -127,7 +127,7 @@ def check_remote_catalog(
     try:
         acq = datetime.fromisoformat(raw.replace("Z", "+00:00"))
     except ValueError:
-        acq = datetime.utcnow()
+        acq = datetime.now(timezone.utc).replace(tzinfo=None)
     return {
         "scene_id": best.get("id", "unknown"),
         "acquisition_date": acq,
@@ -151,7 +151,7 @@ def _synthesize_scene(source_dir: Path, aoi_geometry: Optional[dict]) -> Tuple[P
     synthetic_scene(path=path, size=(512, 512), bounds=bounds)
     metadata = {
         "scene_id": f"synthetic_{ts}",
-        "acquisition_date": datetime.utcnow().isoformat() + "Z",
+        "acquisition_date": datetime.now(timezone.utc).replace(tzinfo=None).isoformat() + "Z",
         "cloud_cover_pct": 0.0,
         "file_path": str(path),
         "source": "synthetic_fallback",

@@ -177,6 +177,12 @@ class SREngine:
 _ENGINE_CACHE: dict = {}
 
 
+def loaded_engines() -> list:
+    """Resident engines (for /api/metadata: exposes degraded-mode state —
+    ``pretrained: false`` means random init because weights were absent)."""
+    return list(_ENGINE_CACHE.values())
+
+
 def get_engine(model_name: str = "realesrgan_x4", **kwargs) -> SREngine:
     """Process-wide engine cache.
 
@@ -195,7 +201,12 @@ def get_engine(model_name: str = "realesrgan_x4", **kwargs) -> SREngine:
 
             kwargs["mesh"] = build_mesh(spec)
     mesh = kwargs.get("mesh")
-    key = (model_name, id(mesh),
+    # Key on the mesh's structural identity, not id(): a GC'd mesh can
+    # alias a new object's id and return a stale engine.
+    mesh_key = (None if mesh is None
+                else (tuple(mesh.shape.items()),
+                      tuple(d.id for d in mesh.devices.flat)))
+    key = (model_name, mesh_key,
            tuple(sorted((k, v) for k, v in kwargs.items() if k != "mesh")))
     if key not in _ENGINE_CACHE:
         _ENGINE_CACHE[key] = SREngine(model_name, **kwargs)

@@ -72,6 +72,43 @@ def convert_rrdbnet_state_dict(sd: Mapping[str, Any]) -> Params:
     return params
 
 
+def download_weights(model_name: str, dest_dir: Path | str,
+                     url: str | None = None,
+                     timeout: float = 120.0) -> Path:
+    """Download the released checkpoint on first use — the reference's
+    behaviour (``cnn_super_resolution.py:55-70``: cache keyed by
+    filename, fetch the registry URL when absent).
+
+    Returns the cached ``.pth`` path. Raises on network failure; callers
+    gate on ``Settings.offline`` and fall back to random init loudly.
+    """
+    from .registry import get_model_config
+
+    if url is None:
+        url = get_model_config(model_name).get("url")
+    if not url:
+        raise ValueError(f"no release URL registered for {model_name}")
+    dest_dir = Path(dest_dir)
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    dest = dest_dir / f"{model_name}.pth"
+    if dest.exists():
+        return dest
+
+    import urllib.request
+
+    tmp = dest.with_suffix(".pth.partial")
+    req = urllib.request.Request(url, headers={"User-Agent": "s2sr-tpu/2.0"})
+    with urllib.request.urlopen(req, timeout=timeout) as resp, \
+            open(tmp, "wb") as out:
+        while True:
+            chunk = resp.read(1 << 20)
+            if not chunk:
+                break
+            out.write(chunk)
+    tmp.rename(dest)  # atomic: concurrent jobs never see a torn file
+    return dest
+
+
 def load_torch_checkpoint(path: Path | str) -> Mapping[str, Any]:
     import torch
 
@@ -122,12 +159,15 @@ def load_params(path: Path | str) -> Params:
 
 
 def resolve_params(model_name: str, weights_dir: Path | str,
-                   seed: int = 0) -> tuple[Params, bool]:
-    """Converted weights if cached, else deterministic random init.
+                   seed: int = 0,
+                   allow_download: bool | None = None) -> tuple[Params, bool]:
+    """Converted weights if cached, else download-on-first-use (unless
+    offline), else deterministic random init.
 
     Returns ``(params, pretrained)``. In no-egress environments the
     framework stays fully functional on random weights; drop the released
     ``.pth`` in *weights_dir* (or a converted ``.npz``) for real quality.
+    ``allow_download=None`` reads ``Settings.offline``.
     """
     from .registry import get_model_config
     from .rrdbnet import RRDBNet
@@ -138,6 +178,20 @@ def resolve_params(model_name: str, weights_dir: Path | str,
     if npz.exists():
         return load_params(npz), True
     pth = weights_dir / f"{model_name}.pth"
+    if not pth.exists():
+        if allow_download is None:
+            from ..config import get_settings
+
+            allow_download = not get_settings().offline
+        if allow_download and config.get("url"):
+            try:
+                download_weights(model_name, weights_dir)
+            except Exception as exc:  # degrade loudly, never crash serving
+                import logging
+
+                logging.getLogger("s2sr_tpu.weights").error(
+                    "weight download failed for %s: %s — falling back to "
+                    "random init", model_name, exc)
     if pth.exists():
         convert_checkpoint(pth, npz)
         return load_params(npz), True

@@ -92,8 +92,6 @@ class TilePlan:
         starts = self.starts()
         crop_off = []
         dest = []
-        keep_h = self.win_h * s - (p if self.ny > 1 else 0) * 2 + (
-            0 if self.ny > 1 else 0)
         for idx in range(self.num_windows):
             iy, ix = divmod(idx, self.nx)
             y1, x1 = starts[idx]

@@ -37,7 +37,12 @@ def apply_farm_sr(
     original_shape = img.shape[:2]
 
     with timer.stage(f"Real-ESRGAN x{scale} upscaling"):
-        engine = get_engine("realesrgan_x4", weights_dir=str(weights_dir))
+        # Model name derived from the requested scale, like the reference
+        # (``farm_sr.py:162`` → ``RealESRGAN(scale=scale)`` →
+        # ``cnn_super_resolution.py:182``): unknown scales raise rather
+        # than silently returning x4 output.
+        engine = get_engine(f"realesrgan_x{scale}",
+                            weights_dir=str(weights_dir))
         sr_dev = engine.enhance_device(jax.numpy.asarray(img))
         actual_scale = engine.scale
 
@@ -64,6 +69,7 @@ def apply_farm_sr(
         "output_size": list(output_rgb.shape[:2]),
         "original_resolution_m": 10.0,
         "effective_resolution_m": 10.0 / actual_scale,
+        "pretrained": engine.pretrained,
         "timing": timer.summary(),
     }
     return final_output, metadata

@@ -86,6 +86,7 @@ def apply_wow_sr(
         "original_resolution_m": 10.0,
         "effective_resolution_m": 10.0 / scale,
         "optimized_for": "z18_crop_visibility",
+        "pretrained": engine.pretrained,
         "timing": timer.summary(),
     }
     return final_output, metadata

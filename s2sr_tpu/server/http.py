@@ -79,10 +79,14 @@ class Request:
         fields: Dict[str, str] = {}
         files: Dict[str, UploadFile] = {}
         for part in self.body.split(boundary):
-            part = part.strip(b"\r\n")
-            if not part or part == b"--":
+            # Strip exactly the one CRLF framing the boundary on each side;
+            # a blanket strip(b"\r\n") would eat trailing 0x0D/0x0A bytes
+            # that belong to binary payloads (TIFF uploads truncate).
+            if part in (b"", b"\r\n") or part.startswith(b"--"):
                 continue
+            part = part.removeprefix(b"\r\n")
             header_blob, _, content = part.partition(b"\r\n\r\n")
+            content = content.removesuffix(b"\r\n")
             headers = header_blob.decode("utf-8", "replace")
             name_m = re.search(r'name="([^"]+)"', headers)
             if not name_m:

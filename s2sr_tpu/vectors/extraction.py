@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import hashlib
 from dataclasses import dataclass
-from datetime import datetime
+from datetime import datetime, timezone
 from pathlib import Path
 from typing import List, Optional, Tuple
 
@@ -217,7 +217,7 @@ def compute_confidence(feature: dict, source: str, total_features: int) -> float
 
 def create_geojson_output(features: List[dict], source: str,
                           output_path: Path) -> dict:
-    timestamp = datetime.utcnow().isoformat() + "Z"
+    timestamp = datetime.now(timezone.utc).replace(tzinfo=None).isoformat() + "Z"
     geojson_features = []
     for i, feat in enumerate(features):
         poly: Polygon = feat["geometry"]
@@ -305,7 +305,7 @@ def extract_field_polygons(
             "max_area_ha": config.max_area_ha,
             "simplify_tolerance_m": config.simplify_tolerance_m,
         },
-        "created_at": datetime.utcnow().isoformat() + "Z",
+        "created_at": datetime.now(timezone.utc).replace(tzinfo=None).isoformat() + "Z",
     }
     write_json(metadata, out_dir / "extraction_metadata.json")
     logger.info("EXTRACTION COMPLETE: %d field polygons", len(cleaned))

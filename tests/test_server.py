@@ -239,3 +239,75 @@ def test_runtime_metrics(app):
     assert "devices" in payload
     assert payload["max_concurrent"] >= 1
     assert isinstance(payload["jobs_by_status"], dict)
+
+
+# --- security hardening (ADVICE r1) ------------------------------------
+
+def test_spa_rejects_path_traversal(app, tmp_path):
+    """GET with ../ segments must never escape static_dir (ADVICE r1 #1)."""
+    secret = tmp_path / "secret.txt"
+    secret.write_text("credentials")
+    depth = len(Path(__file__).resolve().parts) + 4
+    for path in ("/" + "../" * depth + "etc/passwd",
+                 f"/..%2F..%2F{secret}",
+                 f"/{secret}"):
+        resp, payload = asyncio.run(call(app, "GET", path))
+        assert b"credentials" not in resp.body
+        assert b"root:" not in resp.body
+
+
+def test_upload_filename_sanitised(app):
+    """Client multipart filename with ../ must stay inside the upload dir
+    (ADVICE r1 #2)."""
+    boundary = "bsec"
+    evil_name = "../../../../escape_marker.png"
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="model"\r\n\r\n'
+        f"realesrgan_x4\r\n"
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="image"; filename="{evil_name}"\r\n'
+        f"Content-Type: image/png\r\n\r\n"
+    ).encode() + b"notapng" + f"\r\n--{boundary}--\r\n".encode()
+    headers = {"content-type": f"multipart/form-data; boundary={boundary}"}
+
+    async def dispatch_only():
+        resp, _ = await app.dispatch(make_request(
+            "POST", "/api/enhance", body=body, headers=headers))
+        return resp
+
+    resp = asyncio.run(dispatch_only())  # don't run the background job
+    assert resp.status_code == 200
+    payload = json.loads(resp.body)
+    uploads = Path(app.settings.data_dir) / "uploads" / payload["job_id"]
+    saved = list(uploads.iterdir())
+    assert [p.name for p in saved] == ["escape_marker.png"]
+    data_root = Path(app.settings.data_dir).resolve()
+    escaped = [p for p in data_root.parent.rglob("escape_marker.png")
+               if not p.resolve().is_relative_to(data_root)]
+    assert escaped == []
+
+
+def test_multipart_preserves_binary_trailing_bytes():
+    """strip() must not eat payload bytes that look like CRLF (ADVICE r1 #3)."""
+    boundary = "bbin"
+    payload_bytes = b"\x00\x01BINARY\n\n\r"  # ends in LF LF CR
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="f"; filename="x.bin"\r\n'
+        f"Content-Type: application/octet-stream\r\n\r\n"
+    ).encode() + payload_bytes + f"\r\n--{boundary}--\r\n".encode()
+    req = make_request(
+        "POST", "/x", body=body,
+        headers={"content-type": f"multipart/form-data; boundary={boundary}"})
+    _, files = req.multipart()
+    assert files["f"].content == payload_bytes
+
+
+def test_job_ids_unique_within_second():
+    from s2sr_tpu.server.app import _new_job_id
+    import re
+
+    ids = [_new_job_id("wow_") for _ in range(64)]
+    assert len(set(ids)) == len(ids)
+    assert all(re.fullmatch(r"wow_\d{8}_\d{6}_[0-9a-f]{6}", i) for i in ids)
