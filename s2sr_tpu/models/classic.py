@@ -13,9 +13,10 @@ papers (the same models the ``.pb`` files encode):
   3×3 convs (leaky ReLU 0.2) + transposed-conv upsample with a
   bilinear-ish learned kernel, residual added to an upsampled image.
 
-Weights: ``.pb`` conversion needs TensorFlow (absent); models load from
-``.npz`` via :mod:`s2sr_tpu.models.weights` or run on deterministic
-random init offline.
+Weights: frozen ``.pb`` GraphDefs convert WITHOUT TensorFlow via
+:mod:`s2sr_tpu.models.pb_reader` (all three families: structural
+order+shape mapping); models also load from ``.npz`` or run on
+deterministic random init offline.
 """
 
 from __future__ import annotations

@@ -162,8 +162,93 @@ class SREngine:
 
         self._enhance_fn = jax.jit(enhance_fn_raw, compiler_options=opts)
 
+        # Fixed-shape window chunk: uint8 in → uint8 out, with the whole
+        # normalise/flip/model/quantise contract folded in. This is the
+        # ONE executable the bucketed serving path reuses for every image
+        # size (SURVEY §7 hard-part 7: pad-to-bucket; VERDICT r1 #4).
+        def chunk_fn_raw(params, wins_u8):
+            x = wins_u8.astype(jnp.float32) / 255.0
+            if bgr:
+                x = x[..., ::-1]
+            out = (model_apply(params, x) if family == "swinir"
+                   else rrdbnet_apply(params, x, scale=scale, dtype=dtype_))
+            if bgr:
+                out = out[..., ::-1]
+            return jnp.trunc(jnp.clip(out * 255.0, 0.0, 255.0)).astype(jnp.uint8)
+
+        self._chunk_fn = jax.jit(chunk_fn_raw, compiler_options=opts)
+
     def model_fn(self, batch: jnp.ndarray) -> jnp.ndarray:
         return self._batch_fn(self.params, batch)
+
+    # -- bucketed serving path (warm-executable for any upload size) ----
+
+    def _run_chunked(self, wins: np.ndarray) -> np.ndarray:
+        """(N, wh, ww, 3) uint8 windows → (N, s·wh, s·ww, 3) uint8, in
+        fixed ``batch_size`` chunks so every call hits one executable."""
+        n = wins.shape[0]
+        bs = self.batch_size
+        n_padded = -(-n // bs) * bs
+        if n_padded != n:
+            wins = np.concatenate(
+                [wins, np.repeat(wins[-1:], n_padded - n, axis=0)], axis=0)
+        outs = []
+        for k in range(0, n_padded, bs):
+            outs.append(np.asarray(jax.device_get(
+                self._chunk_fn(self.params, jnp.asarray(wins[k:k + bs])))))
+        return np.concatenate(outs, axis=0)[:n]
+
+    def enhance_serving(self, img: np.ndarray) -> np.ndarray:
+        """uint8 (H, W, 3) → uint8 (sH, sW, 3) without per-shape compiles.
+
+        Tiled images (the reference engage rule ``H·W > tile²·4`` with
+        both dims ≥ the window) decompose into fixed (tile+2·pad)² halo
+        windows gathered and stitched on host — **byte-identical** to
+        :meth:`enhance` because each window's device computation and the
+        row-major stitch order are unchanged. Small images pad to the
+        next 64-multiple (edge replicate) and crop — exact when the
+        input is already a bucket size, approximate near the replicated
+        border otherwise. Skinny images (one dim < window but area above
+        the engage threshold) fall back to the exact per-shape jit.
+        """
+        h, w, _ = img.shape
+        s, tile, pad = self.scale, self.tile_size, self.tile_pad
+        win = tile + 2 * pad
+
+        if h * w <= tile * tile * 4:
+            hb, wb = -(-h // 64) * 64, -(-w // 64) * 64
+            padded = np.pad(img, ((0, hb - h), (0, wb - w), (0, 0)),
+                            mode="edge")
+            # replicate across the chunk batch: one executable per small
+            # bucket shape, shared with every later same-bucket upload
+            out = np.asarray(jax.device_get(
+                self._chunk_fn(self.params, jnp.asarray(padded[None]))))[0]
+            return out[:h * s, :w * s]
+
+        if min(h, w) < win:
+            return self.enhance(img)  # rare skinny shape: exact fallback
+
+        from ..parallel.tiling import TilePlan
+
+        plan = TilePlan.for_image(h, w, tile=tile, pad=pad, scale=s)
+        starts = plan.starts()
+        crop_off, dest = plan.crop_boxes()
+        wh, ww = plan.win_h, plan.win_w
+
+        wins = np.empty((plan.num_windows, wh, ww, 3), img.dtype)
+        for i, (y, x) in enumerate(starts):
+            wins[i] = img[y:y + wh, x:x + ww]
+        outs = self._run_chunked(wins)
+
+        keep_h = wh * s - (pad * s if plan.ny > 1 else 0)
+        keep_w = ww * s - (pad * s if plan.nx > 1 else 0)
+        canvas = np.zeros((h * s, w * s, 3), np.uint8)
+        for i in range(plan.num_windows):
+            cy, cx = crop_off[i]
+            dy, dx = dest[i]
+            canvas[dy:dy + keep_h, dx:dx + keep_w] = \
+                outs[i][cy:cy + keep_h, cx:cx + keep_w]
+        return canvas
 
     def enhance_device(self, img: jnp.ndarray) -> jnp.ndarray:
         """uint8 (H, W, 3) on device → uint8 (sH, sW, 3) on device."""

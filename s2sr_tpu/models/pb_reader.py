@@ -139,6 +139,152 @@ def read_graphdef_constants(path: Path | str) -> Dict[str, np.ndarray]:
     return constants
 
 
+def _ordered_convs(constants: Dict[str, np.ndarray]):
+    """Pair each 4-D kernel with its following 1-D bias (matching size),
+    preserving GraphDef construction order — frozen TF graphs list Const
+    nodes in forward-pass order."""
+    items = list(constants.items())
+    convs = []
+    used = set()
+    for i, (name, t) in enumerate(items):
+        if t.ndim != 4:
+            continue
+        bias = None
+        for j in range(i + 1, len(items)):
+            bn, bt = items[j]
+            if bt.ndim == 4:
+                break
+            if bt.ndim == 1 and bt.shape[0] == t.shape[3] and bn not in used:
+                bias = bt
+                used.add(bn)
+                break
+        convs.append((name, t, bias))
+    return convs
+
+
+def _jconv(kernel: np.ndarray, bias) -> dict:
+    import jax.numpy as jnp
+
+    if bias is None:
+        bias = np.zeros(kernel.shape[3], np.float32)
+    return {"kernel": jnp.asarray(kernel), "bias": jnp.asarray(bias)}
+
+
+def _shape_audit(convs) -> str:
+    return ", ".join(f"{n}:{t.shape}" for n, t, _ in convs)
+
+
+def convert_edsr_pb(path: Path | str, scale: int) -> tuple:
+    """Frozen EDSR .pb (Saafke/EDSR_Tensorflow graphs consumed by
+    ``cv2.dnn_superres``, ref ``super_resolution.py:22-41``) → our param
+    tree + inferred config.
+
+    Mapping is structural (order + shape signature), so it is robust to
+    node renames: head = first (3,3,3,F); 2B+1 kernels of (3,3,F,F) are
+    the B residual blocks plus the post-body conv; (3,3,F,F·f²) kernels
+    are pixel-shuffle upsamples; (3,3,F,3) is the tail. A graph that does
+    not match raises with a full shape inventory for diagnosis.
+
+    Returns ``(params, config)`` with ``config = {"channels": F,
+    "blocks": B, "mean": optional (3,) mean}``.
+    """
+    import jax.numpy as jnp
+
+    constants = read_graphdef_constants(path)
+    convs = _ordered_convs(constants)
+    if not convs:
+        raise ValueError(f"no conv kernels in {path}")
+
+    head = next(((n, t, b) for n, t, b in convs if t.shape[2] == 3
+                 and t.shape[3] > 3), None)
+    if head is None:
+        raise ValueError(f"no head conv (3→F) in {path}: {_shape_audit(convs)}")
+    feat = head[1].shape[3]
+
+    ff = [(n, t, b) for n, t, b in convs if t.shape[2] == feat
+          and t.shape[3] == feat]
+    ups = [(n, t, b) for n, t, b in convs if t.shape[2] == feat
+           and t.shape[3] in (feat * 4, feat * 9)]
+    tail = [(n, t, b) for n, t, b in convs if t.shape[2] == feat
+            and t.shape[3] == 3]
+    if len(ff) % 2 != 1 or not tail:
+        raise ValueError(
+            f"unexpected EDSR structure in {path} (feat={feat}, "
+            f"{len(ff)} FxF convs, {len(ups)} upsample, {len(tail)} tail): "
+            f"{_shape_audit(convs)}")
+    blocks = (len(ff) - 1) // 2
+
+    body = [{"conv1": _jconv(ff[2 * i][1], ff[2 * i][2]),
+             "conv2": _jconv(ff[2 * i + 1][1], ff[2 * i + 1][2])}
+            for i in range(blocks)]
+    import jax
+
+    params = {
+        "head": _jconv(head[1], head[2]),
+        "body": jax.tree.map(lambda *xs: jnp.stack(xs), *body),
+        "body_conv": _jconv(ff[-1][1], ff[-1][2]),
+        "upsample": [_jconv(t, b) for _, t, b in ups],
+        "tail": _jconv(tail[-1][1], tail[-1][2]),
+    }
+    config = {"channels": feat, "blocks": blocks}
+    # a stray (3,) const that is not a conv bias is the input mean shift
+    bias_arrays = {id(b) for _, _, b in convs if b is not None}
+    for name, t in constants.items():
+        if t.ndim == 1 and t.shape[0] == 3 and id(t) not in bias_arrays:
+            config["mean"] = np.asarray(t, np.float32)
+            break
+    return params, config
+
+
+def convert_lapsrn_pb(path: Path | str, scale: int) -> dict:
+    """Frozen LapSRN .pb (fannymonori/TF-LAPSRN graphs, ref
+    ``super_resolution.py:44-58``) → our param tree.
+
+    Structure: head (3,3,3,F); per ×2 level, embedding convs (3,3,F,F),
+    a feature transposed-conv (4,4,·,·) with F channels, a residual conv
+    (3,3,F,3) and an image transposed-conv (4,4,3,3). TF stores
+    transposed-conv kernels as (kh, kw, out, in) — transposed here to
+    our (kh, kw, in, out). Levels with shared weights (the paper's
+    parameter sharing, possible in x8 graphs) are replicated.
+    """
+    constants = read_graphdef_constants(path)
+    convs = _ordered_convs(constants)
+    head = next(((n, t, b) for n, t, b in convs
+                 if t.shape[:3] == (3, 3, 3) and t.shape[3] > 3), None)
+    if head is None:
+        raise ValueError(f"no head conv in {path}: {_shape_audit(convs)}")
+    feat = head[1].shape[3]
+    import math as _math
+
+    import jax.numpy as jnp
+
+    levels_needed = int(_math.log2(scale))
+    rest = [c for c in convs if c[0] != head[0]]
+    groups = []
+    cur = {"embed": [], "up_feat": None, "res": None, "up_img": None}
+    for name, t, b in rest:
+        kh = t.shape[0]
+        if kh == 3 and t.shape[2] == feat and t.shape[3] == feat:
+            cur["embed"].append(_jconv(t, b))
+        elif t.shape[2] == feat and t.shape[3] == feat and kh >= 4:
+            cur["up_feat"] = jnp.asarray(np.transpose(t, (0, 1, 3, 2)))
+        elif kh == 3 and t.shape[2] == feat and t.shape[3] == 3:
+            cur["res"] = _jconv(t, b)
+        elif t.shape[2] == 3 and t.shape[3] == 3 and kh >= 4:
+            cur["up_img"] = jnp.asarray(np.transpose(t, (0, 1, 3, 2)))
+            groups.append(cur)
+            cur = {"embed": [], "up_feat": None, "res": None,
+                   "up_img": None}
+    if not groups or any(g["up_feat"] is None or g["res"] is None
+                         for g in groups):
+        raise ValueError(
+            f"unexpected LapSRN structure in {path}: {_shape_audit(convs)}")
+    while len(groups) < levels_needed:   # weight sharing across levels
+        groups.append(groups[-1])
+    return {"head": _jconv(head[1], head[2]),
+            "levels": groups[:levels_needed]}
+
+
 def convert_espcn_pb(path: Path | str, scale: int) -> dict:
     """Frozen ESPCN .pb → our param tree, matched by kernel shapes.
 

@@ -43,7 +43,8 @@ def apply_farm_sr(
         # than silently returning x4 output.
         engine = get_engine(f"realesrgan_x{scale}",
                             weights_dir=str(weights_dir))
-        sr_dev = engine.enhance_device(jax.numpy.asarray(img))
+        # bucketed serving path (see wow_sr.py): no per-shape recompiles
+        sr_dev = jax.numpy.asarray(engine.enhance_serving(np.asarray(img)))
         actual_scale = engine.scale
 
     with timer.stage("CLAHE + sharpening + vegetation (fused)"):

@@ -37,8 +37,33 @@ def create_sr_model(model: str = "edsr", scale: int = 4):
 
     weights_dir = Path(get_settings().weights_dir)
     npz = weights_dir / f"{name}.npz"
+    pb = weights_dir / f"{name}.pb"
     if npz.exists():
         params = load_params(npz)
+    elif pb.exists():
+        # frozen TF GraphDef, read without TensorFlow (models/pb_reader)
+        from ..models.classic import EDSR
+        from ..models.pb_reader import (
+            convert_edsr_pb, convert_espcn_pb, convert_lapsrn_pb,
+        )
+
+        family = config["family"]
+        if family == "edsr":
+            params, inferred = convert_edsr_pb(pb, scale)
+            instance = EDSR(scale=scale, num_feat=inferred["channels"],
+                            num_blocks=inferred["blocks"])
+            mean = inferred.get("mean")
+            if mean is not None:
+                # graphs trained on [0,255] inputs carry a 0-255 mean
+                instance.mean = jnp.asarray(
+                    mean / 255.0 if mean.max() > 1.0 else mean)
+        elif family == "espcn":
+            params = convert_espcn_pb(pb, scale)
+        elif family == "lapsrn":
+            params = convert_lapsrn_pb(pb, scale)
+        else:
+            raise ValueError(f"no .pb converter for family {family}")
+        logger.info("%s: converted frozen GraphDef %s", name, pb)
     else:
         logger.warning("%s: no converted weights — random init", name)
         params = instance.init(jax.random.PRNGKey(0))

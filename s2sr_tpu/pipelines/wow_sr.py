@@ -51,7 +51,9 @@ def apply_wow_sr(
 
     with timer.stage(f"{model_display} (GAN upscaling)"):
         engine = get_engine(model, weights_dir=str(weights_dir))
-        sr_dev = engine.enhance_device(jax.numpy.asarray(img))
+        # bucketed serving path: arbitrary upload sizes reuse one warm
+        # fixed-window executable instead of paying a per-shape compile
+        sr_dev = jax.numpy.asarray(engine.enhance_serving(np.asarray(img)))
         scale = engine.scale
 
     pipeline_stages = [{"model": model, "scale": scale, "purpose": "GAN upscaling"}]

@@ -84,3 +84,127 @@ def test_convert_espcn_pb_runs_model(tmp_path, rng):
     model = ESPCN(scale=scale)
     out = model.apply(params, jnp.zeros((1, 8, 8, 3)))
     assert out.shape == (1, 24, 24, 3)
+
+
+def _edsr_graph(rng, feat=16, blocks=2, scale=2):
+    """Synthetic frozen-EDSR GraphDef in forward construction order."""
+    parts = [const_node("mean", np.array([114.4, 111.5, 103.0], np.float32))]
+
+    def conv(name, kh, cin, cout):
+        k = (rng.random((kh, kh, cin, cout)).astype(np.float32) - 0.5) * 0.05
+        b = rng.random((cout,)).astype(np.float32) * 0.01
+        parts.append(const_node(f"{name}/w", k))
+        parts.append(const_node(f"{name}/b", b))
+
+    conv("head", 3, 3, feat)
+    for i in range(blocks):
+        conv(f"block{i}/c1", 3, feat, feat)
+        conv(f"block{i}/c2", 3, feat, feat)
+    conv("body", 3, feat, feat)
+    conv("up1", 3, feat, feat * scale * scale)
+    conv("tail", 3, feat, 3)
+    return b"".join(parts)
+
+
+def test_convert_edsr_pb_runs_model(tmp_path, rng):
+    import jax.numpy as jnp
+
+    from s2sr_tpu.models.classic import EDSR
+    from s2sr_tpu.models.pb_reader import convert_edsr_pb
+
+    p = tmp_path / "edsr_x2.pb"
+    p.write_bytes(_edsr_graph(rng, feat=16, blocks=2, scale=2))
+    params, config = convert_edsr_pb(p, 2)
+    assert config["channels"] == 16 and config["blocks"] == 2
+    assert config["mean"].shape == (3,)
+    assert params["body"]["conv1"]["kernel"].shape == (2, 3, 3, 16, 16)
+    model = EDSR(scale=2, num_feat=16, num_blocks=2)
+    out = model.apply(params, jnp.zeros((1, 8, 8, 3)))
+    assert out.shape == (1, 16, 16, 3)
+
+
+def test_convert_edsr_pb_audits_bad_graph(tmp_path, rng):
+    from s2sr_tpu.models.pb_reader import convert_edsr_pb
+
+    k = rng.random((3, 3, 7, 7)).astype(np.float32)
+    p = tmp_path / "bad.pb"
+    p.write_bytes(const_node("w", k))
+    with pytest.raises(ValueError, match="head"):
+        convert_edsr_pb(p, 2)
+
+
+def _lapsrn_graph(rng, feat=8, depth=3, levels=2):
+    parts = []
+
+    def conv(name, kh, cin, cout):
+        k = (rng.random((kh, kh, cin, cout)).astype(np.float32) - 0.5) * 0.05
+        b = rng.random((cout,)).astype(np.float32) * 0.01
+        parts.append(const_node(f"{name}/w", k))
+        parts.append(const_node(f"{name}/b", b))
+
+    conv("head", 3, 3, feat)
+    for lv in range(levels):
+        for d in range(depth):
+            conv(f"l{lv}/e{d}", 3, feat, feat)
+        # transposed convs: TF stores (kh, kw, out, in), no bias
+        parts.append(const_node(
+            f"l{lv}/upf",
+            rng.random((4, 4, feat, feat)).astype(np.float32) * 0.05))
+        conv(f"l{lv}/res", 3, feat, 3)
+        parts.append(const_node(
+            f"l{lv}/upi", rng.random((4, 4, 3, 3)).astype(np.float32) * 0.05))
+    return b"".join(parts)
+
+
+def test_convert_lapsrn_pb_runs_model(tmp_path, rng):
+    import jax.numpy as jnp
+
+    from s2sr_tpu.models.classic import LapSRN
+    from s2sr_tpu.models.pb_reader import convert_lapsrn_pb
+
+    p = tmp_path / "lapsrn_x4.pb"
+    p.write_bytes(_lapsrn_graph(rng, feat=8, depth=3, levels=2))
+    params = convert_lapsrn_pb(p, 4)
+    assert len(params["levels"]) == 2
+    assert len(params["levels"][0]["embed"]) == 3
+    model = LapSRN(scale=4, num_feat=8)
+    out = model.apply(params, jnp.zeros((1, 8, 8, 3)))
+    assert out.shape == (1, 32, 32, 3)
+
+
+def test_convert_lapsrn_weight_sharing_x8(tmp_path, rng):
+    """x8 graph storing one shared level is replicated to 3 levels."""
+    from s2sr_tpu.models.pb_reader import convert_lapsrn_pb
+
+    p = tmp_path / "lapsrn_x8.pb"
+    p.write_bytes(_lapsrn_graph(rng, feat=8, depth=2, levels=1))
+    params = convert_lapsrn_pb(p, 8)
+    assert len(params["levels"]) == 3
+
+
+def test_create_sr_model_loads_pb(tmp_path, rng, monkeypatch):
+    """The serving path picks up a dropped .pb for all three families."""
+    import jax.numpy as jnp
+
+    from s2sr_tpu.config import settings as settings_mod
+
+    weights = tmp_path / "weights"
+    weights.mkdir()
+    (weights / "edsr_x2.pb").write_bytes(_edsr_graph(rng, 16, 2, 2))
+    (weights / "lapsrn_x4.pb").write_bytes(_lapsrn_graph(rng, 8, 2, 2))
+
+    from s2sr_tpu.config.settings import Settings
+
+    monkeypatch.setattr(
+        "s2sr_tpu.config.get_settings",
+        lambda: Settings(weights_dir=str(weights), offline=True))
+    from s2sr_tpu.pipelines.super_resolution import create_sr_model
+
+    inst, params = create_sr_model("edsr", 2)
+    assert inst.num_feat == 16 and inst.num_blocks == 2
+    out = inst.apply(params, jnp.zeros((1, 6, 6, 3)))
+    assert out.shape == (1, 12, 12, 3)
+
+    inst, params = create_sr_model("lapsrn", 4)
+    out = inst.apply(params, jnp.zeros((1, 6, 6, 3)))
+    assert out.shape == (1, 24, 24, 3)
