@@ -198,6 +198,51 @@ class SREngine:
                 self._chunk_fn(self.params, jnp.asarray(wins[k:k + bs])))))
         return np.concatenate(outs, axis=0)[:n]
 
+    def _serving_parts(self, img: np.ndarray):
+        """(windows, stitch-meta) for the bucketed path, or None when the
+        image needs the exact per-shape fallback (skinny shapes)."""
+        h, w, _ = img.shape
+        tile, pad = self.tile_size, self.tile_pad
+        win = tile + 2 * pad
+
+        if h * w <= tile * tile * 4:
+            hb, wb = -(-h // 64) * 64, -(-w // 64) * 64
+            padded = np.pad(img, ((0, hb - h), (0, wb - w), (0, 0)),
+                            mode="edge")
+            return padded[None], {"kind": "small", "h": h, "w": w}
+
+        if min(h, w) < win:
+            return None
+
+        from ..parallel.tiling import TilePlan
+
+        plan = TilePlan.for_image(h, w, tile=tile, pad=pad, scale=self.scale)
+        starts = plan.starts()
+        wh, ww = plan.win_h, plan.win_w
+        wins = np.empty((plan.num_windows, wh, ww, 3), img.dtype)
+        for i, (y, x) in enumerate(starts):
+            wins[i] = img[y:y + wh, x:x + ww]
+        crop_off, dest = plan.crop_boxes()
+        return wins, {"kind": "tiled", "plan": plan, "crop_off": crop_off,
+                      "dest": dest, "h": h, "w": w}
+
+    def _serving_stitch(self, outs: np.ndarray, meta: dict) -> np.ndarray:
+        s = self.scale
+        h, w = meta["h"], meta["w"]
+        if meta["kind"] == "small":
+            return outs[0][:h * s, :w * s]
+        plan = meta["plan"]
+        pad = self.tile_pad
+        keep_h = plan.win_h * s - (pad * s if plan.ny > 1 else 0)
+        keep_w = plan.win_w * s - (pad * s if plan.nx > 1 else 0)
+        canvas = np.zeros((h * s, w * s, 3), np.uint8)
+        for i in range(plan.num_windows):
+            cy, cx = meta["crop_off"][i]
+            dy, dx = meta["dest"][i]
+            canvas[dy:dy + keep_h, dx:dx + keep_w] = \
+                outs[i][cy:cy + keep_h, cx:cx + keep_w]
+        return canvas
+
     def enhance_serving(self, img: np.ndarray) -> np.ndarray:
         """uint8 (H, W, 3) → uint8 (sH, sW, 3) without per-shape compiles.
 
@@ -211,44 +256,38 @@ class SREngine:
         border otherwise. Skinny images (one dim < window but area above
         the engage threshold) fall back to the exact per-shape jit.
         """
-        h, w, _ = img.shape
-        s, tile, pad = self.scale, self.tile_size, self.tile_pad
-        win = tile + 2 * pad
+        parts = self._serving_parts(img)
+        if parts is None:
+            return self.enhance(img)
+        wins, meta = parts
+        return self._serving_stitch(self._run_chunked(wins), meta)
 
-        if h * w <= tile * tile * 4:
-            hb, wb = -(-h // 64) * 64, -(-w // 64) * 64
-            padded = np.pad(img, ((0, hb - h), (0, wb - w), (0, 0)),
-                            mode="edge")
-            # replicate across the chunk batch: one executable per small
-            # bucket shape, shared with every later same-bucket upload
-            out = np.asarray(jax.device_get(
-                self._chunk_fn(self.params, jnp.asarray(padded[None]))))[0]
-            return out[:h * s, :w * s]
-
-        if min(h, w) < win:
-            return self.enhance(img)  # rare skinny shape: exact fallback
-
-        from ..parallel.tiling import TilePlan
-
-        plan = TilePlan.for_image(h, w, tile=tile, pad=pad, scale=s)
-        starts = plan.starts()
-        crop_off, dest = plan.crop_boxes()
-        wh, ww = plan.win_h, plan.win_w
-
-        wins = np.empty((plan.num_windows, wh, ww, 3), img.dtype)
-        for i, (y, x) in enumerate(starts):
-            wins[i] = img[y:y + wh, x:x + ww]
-        outs = self._run_chunked(wins)
-
-        keep_h = wh * s - (pad * s if plan.ny > 1 else 0)
-        keep_w = ww * s - (pad * s if plan.nx > 1 else 0)
-        canvas = np.zeros((h * s, w * s, 3), np.uint8)
-        for i in range(plan.num_windows):
-            cy, cx = crop_off[i]
-            dy, dx = dest[i]
-            canvas[dy:dy + keep_h, dx:dx + keep_w] = \
-                outs[i][cy:cy + keep_h, cx:cx + keep_w]
-        return canvas
+    def enhance_serving_many(self, imgs: list) -> list:
+        """Batch-coalesced serving (SURVEY §2d "batch coalescing of
+        concurrent enhance jobs"): windows from all images with the same
+        window shape run through shared fixed-size device chunks, so N
+        queued uploads cost ~the windows they actually contain instead
+        of N× padded dispatches. Per-image results are identical to
+        :meth:`enhance_serving`.
+        """
+        parts = [self._serving_parts(im) for im in imgs]
+        results: list = [None] * len(imgs)
+        groups: dict = {}
+        for i, p in enumerate(parts):
+            if p is None:
+                results[i] = self.enhance(imgs[i])
+            else:
+                groups.setdefault(p[0].shape[1:3], []).append(i)
+        for idxs in groups.values():
+            wins = np.concatenate([parts[i][0] for i in idxs], axis=0)
+            outs = self._run_chunked(wins)
+            off = 0
+            for i in idxs:
+                k = parts[i][0].shape[0]
+                results[i] = self._serving_stitch(outs[off:off + k],
+                                                  parts[i][1])
+                off += k
+        return results
 
     def enhance_device(self, img: jnp.ndarray) -> jnp.ndarray:
         """uint8 (H, W, 3) on device → uint8 (sH, sW, 3) on device."""

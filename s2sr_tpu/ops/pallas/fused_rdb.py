@@ -258,3 +258,272 @@ def rdb_pallas(x: jnp.ndarray, packed, b14, b5, *, interpret=False):
         interpret=interpret,
     )(xp, wx, wg2, wg3, wg4, wg5, b14, b5)
     return out[:, :h, :w, :]
+
+
+# ======================================================================
+# v2: delta-formulation fused RDB (round-2 rework)
+#
+# Round-1 measurements (BENCH_NOTES r1) showed the v1 kernel loses to
+# its own arithmetic: output chunks of 64 leave half the MXU columns
+# idle, the K-packed 128-lane g-buffer contracts 1.7x zero rows on
+# average, TILE=64 pays a 1.56x spatial halo, and the input DMA is
+# synchronous. v2 keeps the VMEM-residency idea but:
+#
+# - uses the *delta* formulation (models/rrdbnet.py::_rdb): each stage
+#   conv emits its contributions to ALL later stages at once, so matmul
+#   N widths are 192/160/128/96/64 instead of 32 — and K is compact
+#   (3·64 for the input conv, 3·32 for stages; no zero rows),
+# - px lane layout [p5|p4|p3|p2|p1] so every stage's accumulation
+#   `px[:, :, :N] += contribution` starts at lane 0,
+# - TILE=128 (halo overhead 1.27x vs 1.56x),
+# - the input window DMA for grid step i+1 is issued before step i's
+#   compute (double-buffered, 2 semaphores); output stays grid-blocked
+#   so Pallas pipelines the writeback.
+# ======================================================================
+
+
+def pack_rdb_weights_v2(p: Params, dtype=jnp.bfloat16):
+    """RDB param tree → delta-form packed weights.
+
+    Returns (wx, w1, w2, w3, w4, b14, b5):
+      wx (3, 3·64, 192): x's contributions, N-order [p5|p4|p3|p2|p1]
+      w1 (3, 3·32, 160): x1's contributions [q5|q4|q3|q2]
+      w2 (3, 3·32, 128): [r5|r4|r3]
+      w3 (3, 3·32,  96): [s5|s4]
+      w4 (3, 3·32,  64): [t5]
+      b14 (1, 128): stage biases [b1|b2|b3|b4], b5 (1, 64)
+    """
+    def sl(k, lo, hi):
+        return p[f"conv{k}"]["kernel"][:, :, lo:hi, :]
+
+    def pack(src_lo, src_hi, ks):
+        return jnp.concatenate([sl(k, src_lo, src_hi) for k in ks], axis=-1)
+
+    wx = pack(0, NF, (5, 4, 3, 2, 1))
+    w1 = pack(NF, NF + G, (5, 4, 3, 2))
+    w2 = pack(NF + G, NF + 2 * G, (5, 4, 3))
+    w3 = pack(NF + 2 * G, NF + 3 * G, (5, 4))
+    w4 = sl(5, NF + 3 * G, NF + 4 * G)
+    b14 = jnp.concatenate([p[f"conv{k}"]["bias"] for k in (1, 2, 3, 4)])
+    b5 = p["conv5"]["bias"]
+
+    def flat(w):
+        return w.reshape(w.shape[0], 3 * w.shape[2], w.shape[3]).astype(dtype)
+
+    return (tuple(flat(w) for w in (wx, w1, w2, w3, w4)),
+            b14.astype(jnp.float32)[None, :],
+            b5.astype(jnp.float32)[None, :])
+
+
+TILE_V2 = 128
+
+
+def pack_rdb_weights_v2(p: Params, dtype=jnp.bfloat16):
+    """RDB param tree → delta-form packed weights (v2 kernel).
+
+    Returns (wx, w1, w2, w3, w4, b14, b5):
+      wx (3, 3·64, 192): x's contributions, N-order [p5|p4|p3|p2|p1]
+      w1 (3, 3·32, 160): x1's contributions [q5|q4|q3|q2]
+      w2 (3, 3·32, 128): [r5|r4|r3]
+      w3 (3, 3·32,  96): [s5|s4]
+      w4 (3, 3·32,  64): [t5]
+      b14 (1, 128): stage biases [b1|b2|b3|b4], b5 (1, 64)
+
+    Unlike v1's K-packed layout there are NO zero kernel rows: every
+    matmul contracts only real activations, and output widths are
+    192/160/128/96/64 instead of 32 — full MXU columns.
+    """
+    def sl(k, lo, hi):
+        return p[f"conv{k}"]["kernel"][:, :, lo:hi, :]
+
+    def pack(src_lo, src_hi, ks):
+        return jnp.concatenate([sl(k, src_lo, src_hi) for k in ks], axis=-1)
+
+    wx = pack(0, NF, (5, 4, 3, 2, 1))
+    w1 = pack(NF, NF + G, (5, 4, 3, 2))
+    w2 = pack(NF + G, NF + 2 * G, (5, 4, 3))
+    w3 = pack(NF + 2 * G, NF + 3 * G, (5, 4))
+    w4 = sl(5, NF + 3 * G, NF + 4 * G)
+    b14 = jnp.concatenate([p[f"conv{k}"]["bias"] for k in (1, 2, 3, 4)])
+    b5 = p["conv5"]["bias"]
+
+    def flat(w):
+        return w.reshape(w.shape[0], 3 * w.shape[2], w.shape[3]).astype(dtype)
+
+    return (tuple(flat(w) for w in (wx, w1, w2, w3, w4)),
+            b14.astype(jnp.float32)[None, :],
+            b5.astype(jnp.float32)[None, :])
+
+
+def _fill3_ref(b3_ref, v, cin):
+    """Stage [shift(v,+1 along W) | v | shift(v,−1)] into a ref's lane
+    groups (ref writes at 64/32-lane granularity — the staging pattern
+    the v1 kernel proved compiles on real hardware; value-level lane
+    concats do NOT: Mosaic rejects offset-mismatched tpu.concatenate)."""
+    sw = v.shape[1]
+    b3_ref[:, :, 0:cin] = jnp.pad(v, ((0, 0), (1, 0), (0, 0)))[:, :sw, :]
+    b3_ref[:, :, cin:2 * cin] = v
+    b3_ref[:, :, 2 * cin:3 * cin] = jnp.pad(
+        v, ((0, 0), (0, 1), (0, 0)))[:, 1:, :]
+
+
+def _conv3_staged(b3_ref, oh, kernel3, nout, k3):
+    """3×3 conv: 3 row-shifted full-width matmuls over the staged ref."""
+    sw = b3_ref.shape[1]
+    acc = None
+    for dy in range(3):
+        flat = b3_ref[dy:dy + oh].reshape(oh * sw, k3)
+        part = jax.lax.dot_general(
+            flat, kernel3[dy],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(oh, sw, nout)
+        acc = part if acc is None else acc + part
+    return acc
+
+
+def _rdb_kernel_v2(hparams, x_hbm, wx, w1, w2, w3, w4, b14, b5,
+                   out_ref, in_a, in_b, b3, b3s, sems):
+    """Delta-form fused RDB, one T×T tile per grid step.
+
+    Input windows are double-buffered 3-D refs (a 4-D slotted buffer is
+    rejected by Mosaic: lane extents of sliced memrefs must be
+    128-aligned): grid step i+1's HBM→VMEM DMA is issued before step
+    i's compute, into the opposite buffer. Tap staging uses ref writes
+    (v1-proven); stage accumulators are SSA values.
+    """
+    img_h, img_w, tile = hparams
+    b, ty, tx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nty, ntx = pl.num_programs(1), pl.num_programs(2)
+    sw = tile + 2 * PAD
+    oh = sw - 2
+    dtype = in_a.dtype
+    step = (b * nty + ty) * ntx + tx
+    total = pl.num_programs(0) * nty * ntx
+
+    def dma(buf, sem_idx, bb, tyy, txx):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(tyy * tile, sw), pl.ds(txx * tile, sw), :],
+            buf, sems.at[sem_idx])
+
+    slot = step % 2
+
+    @pl.when(step == 0)
+    def _():
+        dma(in_a, 0, b, ty, tx).start()
+
+    nstep = step + 1
+    tx2 = nstep % ntx
+    ty2 = (nstep // ntx) % nty
+    b2 = nstep // (ntx * nty)
+
+    @pl.when((nstep < total) & (nstep % 2 == 0))
+    def _():
+        dma(in_a, 0, b2, ty2, tx2).start()
+
+    @pl.when((nstep < total) & (nstep % 2 == 1))
+    def _():
+        dma(in_b, 1, b2, ty2, tx2).start()
+
+    @pl.when(slot == 0)
+    def _():
+        dma(in_a, 0, b, ty, tx).wait()
+
+    @pl.when(slot == 1)
+    def _():
+        dma(in_b, 1, b, ty, tx).wait()
+
+    src = jnp.where(slot == 0, in_a[:, :, :NF], in_b[:, :, :NF])
+
+    # validity masks (rank-3: Mosaic cannot minor-insert on i1 vectors)
+    base_y = ty * tile
+    base_x = tx * tile
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, sw, 1), 0) + base_y
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, sw, 1), 1) + base_x
+    img_mask = ((row_ids >= PAD) & (row_ids < PAD + img_h)
+                & (col_ids >= PAD) & (col_ids < PAD + img_w))
+    local_y = jax.lax.broadcasted_iota(jnp.int32, (sw, sw, 1), 0)
+    local_x = jax.lax.broadcasted_iota(jnp.int32, (sw, sw, 1), 1)
+
+    def stage_mask(k):
+        tile_ok = ((local_y >= k) & (local_y < sw - k)
+                   & (local_x >= k) & (local_x < sw - k))
+        return (tile_ok & img_mask)[1:1 + oh]
+
+    def lrelu(v):
+        return jnp.where(v >= 0, v, 0.2 * v)
+
+    bias = b14[0]
+
+    # stage 1: x's contributions to all five convs (N=192, K=3·64)
+    _fill3_ref(b3, src, NF)
+    px = _conv3_staged(b3, oh, wx[:], 192, 3 * NF).astype(dtype)
+    # lane layout [p5(64)|p4|p3|p2|p1] — split into per-stage slots
+    p5 = px[:, :, 0:NF]
+    p4 = px[:, :, NF:NF + G]
+    p3 = px[:, :, NF + G:NF + 2 * G]
+    p2 = px[:, :, NF + 2 * G:NF + 3 * G]
+    p1 = px[:, :, NF + 3 * G:]
+
+    def stage(acc_prev, w, boff, k, nout):
+        """xk from its accumulated input slot; conv its contributions.
+        Output cast to the compute dtype at conv exit — the same
+        rounding point as the XLA path's bf16 conv outputs, and half
+        the VMEM spill traffic of f32 stage tensors."""
+        xk = lrelu(acc_prev.astype(jnp.float32) + bias[boff:boff + G])
+        xk = jnp.where(stage_mask(k), xk, 0.0).astype(dtype)
+        xk_full = jnp.pad(xk, ((1, 1), (0, 0), (0, 0)))    # halo rows zero
+        _fill3_ref(b3s, xk_full, G)
+        return _conv3_staged(b3s, oh, w[:], nout, 3 * G).astype(dtype)
+
+    q = stage(p1, w1, 0, 1, 160)                           # [q5|q4|q3|q2]
+    a2 = p2 + q[:, :, NF + 2 * G:]
+    r = stage(a2, w2, G, 2, 128)                           # [r5|r4|r3]
+    a3 = p3 + q[:, :, NF + G:NF + 2 * G] + r[:, :, NF + G:]
+    s = stage(a3, w3, 2 * G, 3, 96)                        # [s5|s4]
+    a4 = p4 + q[:, :, NF:NF + G] + r[:, :, NF:NF + G] + s[:, :, NF:]
+    t = stage(a4, w4, 3 * G, 4, 64)                        # [t5]
+    x5 = (p5 + q[:, :, :NF] + r[:, :, :NF] + s[:, :, :NF] + t)
+
+    # output crop [PAD, PAD+tile): px rows are window rows 1..sw-2
+    y5 = x5[PAD - 1:PAD - 1 + tile, PAD:PAD + tile].astype(jnp.float32) \
+        + b5[0]
+    res = src[PAD:PAD + tile, PAD:PAD + tile, :].astype(jnp.float32)
+    out_ref[0] = (y5 * 0.2 + res).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def rdb_pallas_v2(x: jnp.ndarray, packed, b14, b5, *, interpret=False,
+                  tile=TILE_V2):
+    """Apply one fused delta-form RDB to (B, H, W, 64). Same shape out."""
+    bsz, h, w, _ = x.shape
+    nty, ntx = _cdiv(h, tile), _cdiv(w, tile)
+    hp, wp = nty * tile, ntx * tile
+    # channels padded to 128: HBM DMA lane extents must be 128-aligned
+    xp = jnp.pad(x, ((0, 0), (PAD, hp - h + PAD), (PAD, wp - w + PAD),
+                     (0, 4 * G - NF)))
+    wx, w1, w2, w3, w4 = packed
+    sw = tile + 2 * PAD
+
+    kernel = functools.partial(_rdb_kernel_v2, (h, w, tile))
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, nty, ntx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=pl.BlockSpec(
+            (1, tile, tile, NF), lambda b, i, j: (b, i, j, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, wp, NF), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        scratch_shapes=[
+            pltpu.VMEM((sw, sw, 4 * G), x.dtype),          # in_a
+            pltpu.VMEM((sw, sw, 4 * G), x.dtype),          # in_b
+            pltpu.VMEM((sw, sw, 3 * NF), x.dtype),         # b3 (x staging)
+            pltpu.VMEM((sw, sw, 3 * G), x.dtype),          # b3s (stage staging)
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, wx, w1, w2, w3, w4, b14, b5)
+    return out[:, :h, :w, :]

@@ -40,6 +40,7 @@ def apply_wow_sr(
     model: str = "realesrgan_x4",
     weights_dir: Path | str = "models",
     timer: Optional[StageTimer] = None,
+    precomputed_sr=None,
 ) -> Tuple[Path, dict]:
     """SR + enhancement → saved raster, metadata (``wow_sr.py:28-184``)."""
     model_display = MODEL_DISPLAY.get(model, model)
@@ -51,9 +52,14 @@ def apply_wow_sr(
 
     with timer.stage(f"{model_display} (GAN upscaling)"):
         engine = get_engine(model, weights_dir=str(weights_dir))
-        # bucketed serving path: arbitrary upload sizes reuse one warm
-        # fixed-window executable instead of paying a per-shape compile
-        sr_dev = jax.numpy.asarray(engine.enhance_serving(np.asarray(img)))
+        if precomputed_sr is None:
+            # bucketed serving path: arbitrary upload sizes reuse one
+            # warm fixed-window executable, no per-shape compile
+            sr = engine.enhance_serving(np.asarray(img))
+        else:
+            # batch-coalesced jobs precompute the SR stage together
+            sr = precomputed_sr
+        sr_dev = jax.numpy.asarray(sr)
         scale = engine.scale
 
     pipeline_stages = [{"model": model, "scale": scale, "purpose": "GAN upscaling"}]
@@ -100,6 +106,7 @@ def process_wow_sr(
     enhance_crops: bool = True,
     model: str = "realesrgan_x4",
     weights_dir: Path | str = "models",
+    precomputed_sr=None,
 ) -> dict:
     """Job wrapper + sidecar metadata JSON (``wow_sr.py:212-266``)."""
     output_dir = Path(output_dir)
@@ -113,6 +120,7 @@ def process_wow_sr(
         enhance_crops=enhance_crops,
         model=model,
         weights_dir=weights_dir,
+        precomputed_sr=precomputed_sr,
     )
 
     result = {

@@ -20,6 +20,7 @@ from pathlib import Path
 from uuid import uuid4
 from typing import Optional
 
+import numpy as np
 from pydantic import BaseModel, ValidationError
 
 from ..config import Settings, get_settings
@@ -261,7 +262,8 @@ def create_app(settings: Optional[Settings] = None,
                     enhance_crops: bool, auto_fetch: bool = True,
                     max_age_days: int = 30, max_cloud_cover: float = 30.0,
                     force_fetch: bool = False,
-                    model: str = "realesrgan_x4") -> None:
+                    model: str = "realesrgan_x4",
+                    precomputed_sr=None) -> None:
         try:
             if input_file is None and auto_fetch:
                 jobs.update(job_id, status="fetching",
@@ -288,6 +290,7 @@ def create_app(settings: Optional[Settings] = None,
                 input_tif=input_file, output_dir=output_dir,
                 enhance_crops=enhance_crops, model=model,
                 weights_dir=settings.weights_dir,
+                precomputed_sr=precomputed_sr,
             )
             jobs.update(job_id, status="tiling",
                         message="Generating tiles from WOW SR image...")
@@ -308,6 +311,37 @@ def create_app(settings: Optional[Settings] = None,
         except Exception as exc:
             logger.error("WOW job %s failed: %s", job_id, exc)
             jobs.update(job_id, status="failed", message=str(exc))
+
+    def run_wow_jobs_coalesced(items: list) -> None:
+        """Batch-coalesced enhance jobs (SURVEY §2d): the runner hands us
+        N queued same-model uploads; the SR stage runs as ONE pooled
+        window batch on device, then each job finishes independently
+        (enhancement chain, artifacts, tiles, status)."""
+        from ..models.engine import get_engine
+        from ..pipelines.io import load_rgb
+
+        model = items[0][1]["model"]
+        loaded, srs = {}, {}
+        try:
+            for job_id, p in items:
+                jobs.update(job_id, status="processing",
+                            coalesced=len(items),
+                            message=f"Stage 1/2: batched GAN upscaling "
+                                    f"({len(items)} jobs coalesced)...")
+                loaded[job_id] = load_rgb(p["input_file"])[0]
+            engine = get_engine(model, weights_dir=settings.weights_dir)
+            imgs = [np.asarray(loaded[j]) for j, _ in items]
+            outs = engine.enhance_serving_many(imgs)
+            srs = {j: o for (j, _), o in zip(items, outs)}
+        except Exception as exc:
+            logger.error("coalesced SR stage failed: %s", exc)
+            for job_id, _ in items:
+                jobs.update(job_id, status="failed", message=str(exc))
+            return
+        for job_id, p in items:
+            run_wow_job(job_id, Path(p["input_file"]), Path(p["output_dir"]),
+                        True, auto_fetch=False, model=model,
+                        precomputed_sr=srs[job_id])
 
     # ------------------------------------------------------------------
     # SR routes (main.py:371-454)
@@ -452,7 +486,11 @@ def create_app(settings: Optional[Settings] = None,
         background_tasks.add_task(
             runner.submit, job_id,
             lambda: run_wow_job(job_id, uploaded_path, output_dir, True,
-                                auto_fetch=False, model=model))
+                                auto_fetch=False, model=model),
+            coalesce_key=("enhance", model),
+            payload={"input_file": str(uploaded_path),
+                     "output_dir": str(output_dir), "model": model},
+            many_fn=run_wow_jobs_coalesced)
         return {"job_id": job_id, "status": status, "message": message,
                 "model": model}
 

@@ -16,10 +16,10 @@ a hazard in SURVEY §5.2). Here:
 
 from __future__ import annotations
 
-import queue
 import threading
 import traceback
 from datetime import datetime
+from collections import deque
 from typing import Any, Callable, Dict, Optional
 
 from ..utils import setup_logging
@@ -64,15 +64,37 @@ class JobStore:
             return job_id in self._jobs
 
 
+class _Item:
+    __slots__ = ("job_id", "fn", "key", "payload", "many_fn")
+
+    def __init__(self, job_id, fn, key=None, payload=None, many_fn=None):
+        self.job_id = job_id
+        self.fn = fn
+        self.key = key
+        self.payload = payload
+        self.many_fn = many_fn
+
+
 class JobRunner:
-    """Single-worker FIFO executor owning the device."""
+    """Single-worker FIFO executor owning the device.
+
+    Queued jobs submitted with the same ``coalesce_key`` that sit
+    *consecutively* at the head of the queue are drained together and run
+    as ONE device batch via their ``many_fn`` (SURVEY §2d: batch
+    coalescing of concurrent enhance jobs — N same-model uploads cost
+    one batched pass instead of N sequential ones).
+    """
+
+    MAX_COALESCE = 4
 
     def __init__(self, store: JobStore, max_concurrent: int = 1) -> None:
         self.store = store
         self.max_concurrent = max(1, max_concurrent)
-        self._queue: "queue.Queue[tuple[str, Callable[[], None]]]" = queue.Queue()
+        self._deque: "deque[_Item]" = deque()
+        self._unfinished = 0
         self._active: set[str] = set()
         self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
         self._workers = [
             threading.Thread(target=self._worker, daemon=True,
                              name=f"s2sr-job-worker-{i}")
@@ -81,21 +103,44 @@ class JobRunner:
         for w in self._workers:
             w.start()
 
+    def _take_batch(self) -> list:
+        """Pop the head item plus consecutive same-key coalescable items."""
+        items = [self._deque.popleft()]
+        head = items[0]
+        if head.key is not None and head.many_fn is not None:
+            while (len(items) < self.MAX_COALESCE and self._deque
+                   and self._deque[0].key == head.key):
+                items.append(self._deque.popleft())
+        return items
+
     def _worker(self) -> None:
         while True:
-            job_id, fn = self._queue.get()
-            with self._lock:
-                self._active.add(job_id)
+            with self._cond:
+                while not self._deque:
+                    self._cond.wait()
+                items = self._take_batch()
+                for it in items:
+                    self._active.add(it.job_id)
             try:
-                fn()
-            except Exception as exc:  # job fns set their own status; belt+braces
-                logger.error("job %s crashed: %s\n%s", job_id, exc,
+                if len(items) > 1:
+                    logger.info("coalescing %d jobs: %s", len(items),
+                                [it.job_id for it in items])
+                    items[0].many_fn([(it.job_id, it.payload)
+                                      for it in items])
+                else:
+                    items[0].fn()
+            except Exception as exc:  # job fns set their own status
+                logger.error("job(s) %s crashed: %s\n%s",
+                             [it.job_id for it in items], exc,
                              traceback.format_exc())
-                self.store.update(job_id, status="failed", message=str(exc))
+                for it in items:
+                    self.store.update(it.job_id, status="failed",
+                                      message=str(exc))
             finally:
                 with self._lock:
-                    self._active.discard(job_id)
-                self._queue.task_done()
+                    for it in items:
+                        self._active.discard(it.job_id)
+                    self._unfinished -= len(items)
 
     @property
     def active_count(self) -> int:
@@ -104,20 +149,32 @@ class JobRunner:
 
     @property
     def queued_count(self) -> int:
-        return self._queue.qsize()
+        with self._lock:
+            return len(self._deque)
 
     def has_capacity(self) -> bool:
-        return self.active_count + self.queued_count < self.max_concurrent
+        with self._lock:
+            return len(self._active) + len(self._deque) < self.max_concurrent
 
-    def submit(self, job_id: str, fn: Callable[[], None]) -> None:
-        self._queue.put((job_id, fn))
+    def submit(self, job_id: str, fn: Callable[[], None],
+               coalesce_key: Optional[tuple] = None,
+               payload: Any = None,
+               many_fn: Optional[Callable[[list], None]] = None) -> None:
+        with self._cond:
+            self._deque.append(_Item(job_id, fn, coalesce_key, payload,
+                                     many_fn))
+            self._unfinished += 1
+            self._cond.notify()
 
     def join(self, timeout: Optional[float] = None) -> None:
         """Testing helper: wait until the queue drains."""
         import time
 
         deadline = None if timeout is None else time.time() + timeout
-        while self._queue.unfinished_tasks:
+        while True:
+            with self._lock:
+                if self._unfinished == 0:
+                    return
             if deadline is not None and time.time() > deadline:
                 raise TimeoutError("jobs did not finish in time")
             time.sleep(0.02)

@@ -1,0 +1,123 @@
+"""On-TPU RDB kernel regression harness (VERDICT r1 #7).
+
+Runs the XLA delta-RDB and both Pallas fused-RDB kernels on the real
+chip with fixed seeds: asserts exactness (fp32, small shape) and then
+measures useful TF/s on the round-1 comparison shape (16×276², bf16,
+12-RDB in-jit chain). Prints one JSON line per variant; paste results
+into BENCH_NOTES.md with the date.
+
+Useful-FLOPs accounting: 9·(64·192 + 32·(160+128+96+64)) MACs/px = 479,232
+FLOPs/px/RDB — the delta formulation's true work (identical math to the
+concat form).
+
+Usage: python scripts/bench_kernels.py [--variants xla,v1,v2] [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FLOPS_PER_PX_RDB = 2 * 9 * (64 * 192 + 32 * (160 + 128 + 96 + 64))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default="xla,v1,v2")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--chain", type=int, default=12)
+    ap.add_argument("--shape", default="16,276,276")
+    ap.add_argument("--tile", type=int, default=144)
+    args = ap.parse_args()
+
+    try:
+        from s2sr_tpu.utils.jax_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
+
+    from s2sr_tpu.models.rrdbnet import RRDBNet, _rdb
+    from s2sr_tpu.ops.pallas.fused_rdb import (
+        pack_rdb_weights, pack_rdb_weights_v2, rdb_pallas, rdb_pallas_v2,
+    )
+
+    backend = jax.default_backend()
+    print(f"# backend: {backend}", file=sys.stderr)
+
+    net = RRDBNet(num_feat=64, num_block=1, num_grow_ch=32)
+    params = net.init(jax.random.PRNGKey(0))
+    p = jax.tree.map(lambda a: a[0], params["body"]["rdb1"])
+
+    rng = np.random.default_rng(7)
+
+    # ---- exactness gate (fp32, ragged small shape) ---------------------
+    xs = jnp.asarray(rng.random((1, 40, 72, 64)), jnp.float32)
+    want = np.asarray(_rdb(xs, p, jnp.float32))
+    packed1, b14_1, b5_1 = pack_rdb_weights(p, dtype=jnp.float32)
+    packed2, b14_2, b5_2 = pack_rdb_weights_v2(p, dtype=jnp.float32)
+    variants = args.variants.split(",")
+    if "v1" in variants:
+        got = np.asarray(rdb_pallas(xs, packed1, b14_1, b5_1))
+        err = float(np.abs(got - want).max())
+        print(json.dumps({"check": "v1_exact", "max_err": err}))
+        assert err < 1e-4, f"v1 inexact on {backend}: {err}"
+    if "v2" in variants:
+        got = np.asarray(rdb_pallas_v2(xs, packed2, b14_2, b5_2))
+        err = float(np.abs(got - want).max())
+        print(json.dumps({"check": "v2_exact", "max_err": err}))
+        assert err < 1e-4, f"v2 inexact on {backend}: {err}"
+
+    # ---- throughput (bf16, chained) ------------------------------------
+    b, h, w = (int(v) for v in args.shape.split(","))
+    x = jnp.asarray(rng.random((b, h, w, 64)), jnp.bfloat16)
+    R = args.chain
+    pb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
+    packed1b, b14_1b, b5_1b = pack_rdb_weights(p, dtype=jnp.bfloat16)
+    packed2b, b14_2b, b5_2b = pack_rdb_weights_v2(p, dtype=jnp.bfloat16)
+
+    def chain(step):
+        def run(x):
+            return jax.lax.fori_loop(0, R, lambda i, v: step(v), x)
+        return jax.jit(run)
+
+    fns = {}
+    if "xla" in variants:
+        fns["xla"] = chain(lambda v: _rdb(v, pb, jnp.bfloat16))
+    if "v1" in variants:
+        fns["v1"] = chain(lambda v: rdb_pallas(v, packed1b, b14_1b, b5_1b))
+    if "v2" in variants:
+        fns["v2"] = chain(lambda v: rdb_pallas_v2(v, packed2b, b14_2b,
+                                                  b5_2b, tile=args.tile))
+
+    useful = b * h * w * FLOPS_PER_PX_RDB * R
+    for name, fn in fns.items():
+        t_c0 = time.perf_counter()
+        out = fn(x)
+        _ = np.asarray(out.ravel()[:1])     # relay: readback, not block_until_ready
+        compile_s = time.perf_counter() - t_c0
+        t0 = time.perf_counter()
+        for _ in range(args.runs):
+            out = fn(out)
+            _ = np.asarray(out.ravel()[:1])
+        dt = (time.perf_counter() - t0) / args.runs
+        print(json.dumps({
+            "variant": name, "backend": backend,
+            "shape": [b, h, w], "chain": R,
+            "ms_per_chain": round(dt * 1e3, 2),
+            "tf_s": round(useful / dt / 1e12, 2),
+            "compile_s": round(compile_s, 1),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

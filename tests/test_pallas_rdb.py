@@ -42,3 +42,34 @@ def test_border_zero_padding_semantics(rdb_params):
     # check the outermost ring specifically
     np.testing.assert_allclose(got[0, 0, :], want[0, 0, :], atol=1e-5)
     np.testing.assert_allclose(got[0, :, -1], want[0, :, -1], atol=1e-5)
+
+
+# --- v2 (delta formulation, round 2) ------------------------------------
+
+@pytest.mark.parametrize("shape,tile", [
+    ((1, 32, 32), 32),        # exactly one tile
+    ((2, 70, 50), 32),        # ragged, multi-tile, batch (DMA prefetch path)
+    ((1, 40, 200), 32),       # wide
+])
+def test_v2_matches_xla_rdb(rdb_params, shape, tile):
+    from s2sr_tpu.ops.pallas.fused_rdb import pack_rdb_weights_v2, rdb_pallas_v2
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((*shape, 64)), jnp.float32)
+    want = np.asarray(_rdb(x, rdb_params, jnp.float32))
+    packed, b14, b5 = pack_rdb_weights_v2(rdb_params, dtype=jnp.float32)
+    got = np.asarray(rdb_pallas_v2(x, packed, b14, b5, interpret=True,
+                                   tile=tile))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_v2_border_zero_padding_semantics(rdb_params):
+    from s2sr_tpu.ops.pallas.fused_rdb import pack_rdb_weights_v2, rdb_pallas_v2
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.random((1, 12, 12, 64)), jnp.float32)
+    want = np.asarray(_rdb(x, rdb_params, jnp.float32))
+    packed, b14, b5 = pack_rdb_weights_v2(rdb_params, dtype=jnp.float32)
+    got = np.asarray(rdb_pallas_v2(x, packed, b14, b5, interpret=True,
+                                   tile=32))
+    np.testing.assert_allclose(got, want, atol=1e-5)

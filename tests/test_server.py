@@ -311,3 +311,72 @@ def test_job_ids_unique_within_second():
     ids = [_new_job_id("wow_") for _ in range(64)]
     assert len(set(ids)) == len(ids)
     assert all(re.fullmatch(r"wow_\d{8}_\d{6}_[0-9a-f]{6}", i) for i in ids)
+
+
+# --- batch coalescing (SURVEY §2d / VERDICT r1 #9) ----------------------
+
+def test_runner_coalesces_consecutive_same_key_jobs():
+    import threading
+
+    from s2sr_tpu.server.jobs import JobRunner, JobStore
+
+    store = JobStore()
+    runner = JobRunner(store, max_concurrent=1)
+    gate = threading.Event()
+    runner.submit("block", lambda: gate.wait(5))
+
+    calls = []
+
+    def many(items):
+        calls.append([j for j, _ in items])
+
+    def single():
+        calls.append("single")
+
+    for i in range(3):
+        store.create(f"j{i}")
+        runner.submit(f"j{i}", single, coalesce_key=("enhance", "m"),
+                      payload={"i": i}, many_fn=many)
+    runner.submit("other", single, coalesce_key=("enhance", "x"),
+                  payload={}, many_fn=many)
+    time.sleep(0.1)
+    gate.set()
+    runner.join(10)
+    assert ["j0", "j1", "j2"] in calls       # merged into one batch
+    assert calls.count("single") == 1        # different key ran alone
+
+
+def test_enhance_jobs_coalesce_end_to_end(app):
+    """Two uploads queued behind a busy device run as ONE pooled SR batch."""
+    import threading
+    from PIL import Image
+    import io
+
+    img = np.random.default_rng(1).integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    boundary = "bco"
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="model"\r\n\r\n'
+        f"realesrgan_x4\r\n"
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="image"; filename="a.png"\r\n'
+        f"Content-Type: image/png\r\n\r\n"
+    ).encode() + buf.getvalue() + f"\r\n--{boundary}--\r\n".encode()
+    headers = {"content-type": f"multipart/form-data; boundary={boundary}"}
+
+    gate = threading.Event()
+    app.runner.submit("hold", lambda: gate.wait(10))
+    job_ids = []
+    for _ in range(2):
+        resp, payload = asyncio.run(call(app, "POST", "/api/enhance",
+                                         body=body, headers=headers))
+        assert resp.status_code == 200, payload
+        job_ids.append(payload["job_id"])
+    gate.set()
+    app.runner.join(600)
+    for jid in job_ids:
+        job = app.jobs.get(jid)
+        assert job["status"] == "completed", job["message"]
+        assert job.get("coalesced") == 2
