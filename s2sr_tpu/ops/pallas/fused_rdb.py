@@ -372,7 +372,7 @@ def _conv3_staged(b3_ref, oh, kernel3, nout, k3):
     sw = b3_ref.shape[1]
     acc = None
     for dy in range(3):
-        flat = b3_ref[dy:dy + oh].reshape(oh * sw, k3)
+        flat = b3_ref[dy:dy + oh, :, 0:k3].reshape(oh * sw, k3)
         part = jax.lax.dot_general(
             flat, kernel3[dy],
             (((1,), (0,)), ((), ())),
@@ -383,7 +383,7 @@ def _conv3_staged(b3_ref, oh, kernel3, nout, k3):
 
 
 def _rdb_kernel_v2(hparams, x_hbm, wx, w1, w2, w3, w4, b14, b5,
-                   out_ref, in_a, in_b, b3, b3s, sems):
+                   out_ref, in_a, in_b, b3, sems):
     """Delta-form fused RDB, one T×T tile per grid step.
 
     Input windows are double-buffered 3-D refs (a 4-D slotted buffer is
@@ -459,31 +459,40 @@ def _rdb_kernel_v2(hparams, x_hbm, wx, w1, w2, w3, w4, b14, b5,
     _fill3_ref(b3, src, NF)
     px = _conv3_staged(b3, oh, wx[:], 192, 3 * NF).astype(dtype)
     # lane layout [p5(64)|p4|p3|p2|p1] — split into per-stage slots
-    p5 = px[:, :, 0:NF]
-    p4 = px[:, :, NF:NF + G]
-    p3 = px[:, :, NF + G:NF + 2 * G]
-    p2 = px[:, :, NF + 2 * G:NF + 3 * G]
-    p1 = px[:, :, NF + 3 * G:]
+    c5 = px[:, :, 0:NF]
+    c4 = px[:, :, NF:NF + G]
+    c3 = px[:, :, NF + G:NF + 2 * G]
+    c2 = px[:, :, NF + 2 * G:NF + 3 * G]
+    c1 = px[:, :, NF + 3 * G:]
 
     def stage(acc_prev, w, boff, k, nout):
-        """xk from its accumulated input slot; conv its contributions.
-        Output cast to the compute dtype at conv exit — the same
-        rounding point as the XLA path's bf16 conv outputs, and half
-        the VMEM spill traffic of f32 stage tensors."""
+        """xk from its fully-accumulated input slot; conv its
+        contributions. Output cast to the compute dtype at conv exit —
+        the same rounding point as the XLA path's bf16 conv outputs.
+        Staging reuses the first 3·G lanes of the (now free) stage-1
+        buffer — VMEM headroom for tile=144."""
         xk = lrelu(acc_prev.astype(jnp.float32) + bias[boff:boff + G])
         xk = jnp.where(stage_mask(k), xk, 0.0).astype(dtype)
         xk_full = jnp.pad(xk, ((1, 1), (0, 0), (0, 0)))    # halo rows zero
-        _fill3_ref(b3s, xk_full, G)
-        return _conv3_staged(b3s, oh, w[:], nout, 3 * G).astype(dtype)
+        _fill3_ref(b3, xk_full, G)
+        return _conv3_staged(b3, oh, w[:], nout, 3 * G).astype(dtype)
 
-    q = stage(p1, w1, 0, 1, 160)                           # [q5|q4|q3|q2]
-    a2 = p2 + q[:, :, NF + 2 * G:]
-    r = stage(a2, w2, G, 2, 128)                           # [r5|r4|r3]
-    a3 = p3 + q[:, :, NF + G:NF + 2 * G] + r[:, :, NF + G:]
-    s = stage(a3, w3, 2 * G, 3, 96)                        # [s5|s4]
-    a4 = p4 + q[:, :, NF:NF + G] + r[:, :, NF:NF + G] + s[:, :, NF:]
-    t = stage(a4, w4, 3 * G, 4, 64)                        # [t5]
-    x5 = (p5 + q[:, :, :NF] + r[:, :, :NF] + s[:, :, :NF] + t)
+    # eager accumulation: fold each stage's contributions into the
+    # remaining slots immediately so only ≤160 live lanes persist
+    q = stage(c1, w1, 0, 1, 160)                           # [q5|q4|q3|q2]
+    c5 = c5 + q[:, :, 0:NF]
+    c4 = c4 + q[:, :, NF:NF + G]
+    c3 = c3 + q[:, :, NF + G:NF + 2 * G]
+    c2 = c2 + q[:, :, NF + 2 * G:]
+    r = stage(c2, w2, G, 2, 128)                           # [r5|r4|r3]
+    c5 = c5 + r[:, :, 0:NF]
+    c4 = c4 + r[:, :, NF:NF + G]
+    c3 = c3 + r[:, :, NF + G:]
+    s = stage(c3, w3, 2 * G, 3, 96)                        # [s5|s4]
+    c5 = c5 + s[:, :, 0:NF]
+    c4 = c4 + s[:, :, NF:]
+    t = stage(c4, w4, 3 * G, 4, 64)                        # [t5]
+    x5 = c5 + t
 
     # output crop [PAD, PAD+tile): px rows are window rows 1..sw-2
     y5 = x5[PAD - 1:PAD - 1 + tile, PAD:PAD + tile].astype(jnp.float32) \
@@ -516,12 +525,211 @@ def rdb_pallas_v2(x: jnp.ndarray, packed, b14, b5, *, interpret=False,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, hp, wp, NF), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         scratch_shapes=[
             pltpu.VMEM((sw, sw, 4 * G), x.dtype),          # in_a
             pltpu.VMEM((sw, sw, 4 * G), x.dtype),          # in_b
-            pltpu.VMEM((sw, sw, 3 * NF), x.dtype),         # b3 (x staging)
-            pltpu.VMEM((sw, sw, 3 * G), x.dtype),          # b3s (stage staging)
+            pltpu.VMEM((sw, sw, 3 * NF), x.dtype),         # b3 (shared staging)
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xp, wx, w1, w2, w3, w4, b14, b5)
+    return out[:, :h, :w, :]
+
+
+# ======================================================================
+# v3: 9-tap staged delta RDB — one matmul per conv.
+#
+# v2 profiling arithmetic (BENCH_NOTES r2): at tile=128 the kernel
+# reaches ~52 TF/s of raw matmul work while the MXU shape ceiling is
+# ~219 TF/s — the gap is VPU/VMEM traffic, dominated by the two f32
+# inter-dy accumulation adds per conv (~104 MB/tile). v3 stages all
+# NINE taps in lanes (K = 9·Cin) so each conv is ONE dot_general with
+# no partial-sum adds; kernel rows are the flattened (dy, dx, Cin) taps.
+# ======================================================================
+
+
+def pack_rdb_weights_v3(p: Params, dtype=jnp.bfloat16):
+    """Like :func:`pack_rdb_weights_v2` but kernels flattened to
+    (9·Cin, Cout) with rows ordered (dy, dx, cin) to match the 9-tap
+    lane staging."""
+    def sl(k, lo, hi):
+        return p[f"conv{k}"]["kernel"][:, :, lo:hi, :]
+
+    def pack(src_lo, src_hi, ks):
+        return jnp.concatenate([sl(k, src_lo, src_hi) for k in ks], axis=-1)
+
+    wx = pack(0, NF, (5, 4, 3, 2, 1))
+    w1 = pack(NF, NF + G, (5, 4, 3, 2))
+    w2 = pack(NF + G, NF + 2 * G, (5, 4, 3))
+    w3 = pack(NF + 2 * G, NF + 3 * G, (5, 4))
+    w4 = sl(5, NF + 3 * G, NF + 4 * G)
+    b14 = jnp.concatenate([p[f"conv{k}"]["bias"] for k in (1, 2, 3, 4)])
+    b5 = p["conv5"]["bias"]
+
+    def flat9(w):
+        return w.reshape(9 * w.shape[2], w.shape[3]).astype(dtype)
+
+    return (tuple(flat9(w) for w in (wx, w1, w2, w3, w4)),
+            b14.astype(jnp.float32)[None, :],
+            b5.astype(jnp.float32)[None, :])
+
+
+def _fill9_ref(b9_ref, v, cin, oh):
+    """Stage all nine (dy, dx) shifted copies of ``v`` into lane groups
+    of ``b9_ref`` rows [0, oh): group g = dy*3+dx holds
+    v[y+dy-1, x+dx-1] aligned to output row y (window row y+1)."""
+    sw = v.shape[1]
+    left = jnp.pad(v, ((0, 0), (1, 0), (0, 0)))[:, :sw, :]
+    right = jnp.pad(v, ((0, 0), (0, 1), (0, 0)))[:, 1:, :]
+    for dy in range(3):
+        rows_l = left[dy:dy + oh]
+        rows_c = v[dy:dy + oh]
+        rows_r = right[dy:dy + oh]
+        b9_ref[0:oh, :, (dy * 3 + 0) * cin:(dy * 3 + 1) * cin] = rows_l
+        b9_ref[0:oh, :, (dy * 3 + 1) * cin:(dy * 3 + 2) * cin] = rows_c
+        b9_ref[0:oh, :, (dy * 3 + 2) * cin:(dy * 3 + 3) * cin] = rows_r
+
+
+def _conv9_staged(b9_ref, oh, kernel9, nout, k9):
+    """One-shot 3×3 conv: a single (oh·sw, 9C) × (9C, N) matmul."""
+    sw = b9_ref.shape[1]
+    flat = b9_ref[0:oh, :, 0:k9].reshape(oh * sw, k9)
+    return jax.lax.dot_general(
+        flat, kernel9,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(oh, sw, nout)
+
+
+def _rdb_kernel_v3(hparams, x_hbm, wx, w1, w2, w3, w4, b14, b5,
+                   out_ref, in_a, in_b, b9, sems):
+    img_h, img_w, tile = hparams
+    b, ty, tx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    nty, ntx = pl.num_programs(1), pl.num_programs(2)
+    sw = tile + 2 * PAD
+    oh = sw - 2
+    dtype = in_a.dtype
+    step = (b * nty + ty) * ntx + tx
+    total = pl.num_programs(0) * nty * ntx
+
+    def dma(buf, sem_idx, bb, tyy, txx):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(tyy * tile, sw), pl.ds(txx * tile, sw), :],
+            buf, sems.at[sem_idx])
+
+    slot = step % 2
+
+    @pl.when(step == 0)
+    def _():
+        dma(in_a, 0, b, ty, tx).start()
+
+    nstep = step + 1
+    tx2 = nstep % ntx
+    ty2 = (nstep // ntx) % nty
+    b2 = nstep // (ntx * nty)
+
+    @pl.when((nstep < total) & (nstep % 2 == 0))
+    def _():
+        dma(in_a, 0, b2, ty2, tx2).start()
+
+    @pl.when((nstep < total) & (nstep % 2 == 1))
+    def _():
+        dma(in_b, 1, b2, ty2, tx2).start()
+
+    @pl.when(slot == 0)
+    def _():
+        dma(in_a, 0, b, ty, tx).wait()
+
+    @pl.when(slot == 1)
+    def _():
+        dma(in_b, 1, b, ty, tx).wait()
+
+    src = jnp.where(slot == 0, in_a[:, :, :NF], in_b[:, :, :NF])
+
+    base_y = ty * tile
+    base_x = tx * tile
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, sw, 1), 0) + base_y
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (sw, sw, 1), 1) + base_x
+    img_mask = ((row_ids >= PAD) & (row_ids < PAD + img_h)
+                & (col_ids >= PAD) & (col_ids < PAD + img_w))
+    local_y = jax.lax.broadcasted_iota(jnp.int32, (sw, sw, 1), 0)
+    local_x = jax.lax.broadcasted_iota(jnp.int32, (sw, sw, 1), 1)
+
+    def stage_mask(k):
+        tile_ok = ((local_y >= k) & (local_y < sw - k)
+                   & (local_x >= k) & (local_x < sw - k))
+        return (tile_ok & img_mask)[1:1 + oh]
+
+    def lrelu(v):
+        return jnp.where(v >= 0, v, 0.2 * v)
+
+    bias = b14[0]
+
+    _fill9_ref(b9, src, NF, oh)
+    px = _conv9_staged(b9, oh, wx[:], 192, 9 * NF).astype(dtype)
+    c5 = px[:, :, 0:NF]
+    c4 = px[:, :, NF:NF + G]
+    c3 = px[:, :, NF + G:NF + 2 * G]
+    c2 = px[:, :, NF + 2 * G:NF + 3 * G]
+    c1 = px[:, :, NF + 3 * G:]
+
+    def stage(acc_prev, w, boff, k, nout):
+        xk = lrelu(acc_prev.astype(jnp.float32) + bias[boff:boff + G])
+        xk = jnp.where(stage_mask(k), xk, 0.0).astype(dtype)
+        xk_full = jnp.pad(xk, ((1, 1), (0, 0), (0, 0)))
+        _fill9_ref(b9, xk_full, G, oh)      # staging aliases the b9 prefix
+        return _conv9_staged(b9, oh, w[:], nout, 9 * G).astype(dtype)
+
+    q = stage(c1, w1, 0, 1, 160)
+    c5 = c5 + q[:, :, 0:NF]
+    c4 = c4 + q[:, :, NF:NF + G]
+    c3 = c3 + q[:, :, NF + G:NF + 2 * G]
+    c2 = c2 + q[:, :, NF + 2 * G:]
+    r = stage(c2, w2, G, 2, 128)
+    c5 = c5 + r[:, :, 0:NF]
+    c4 = c4 + r[:, :, NF:NF + G]
+    c3 = c3 + r[:, :, NF + G:]
+    s = stage(c3, w3, 2 * G, 3, 96)
+    c5 = c5 + s[:, :, 0:NF]
+    c4 = c4 + s[:, :, NF:]
+    t = stage(c4, w4, 3 * G, 4, 64)
+    x5 = c5 + t
+
+    y5 = x5[PAD - 1:PAD - 1 + tile, PAD:PAD + tile].astype(jnp.float32) \
+        + b5[0]
+    res = src[PAD:PAD + tile, PAD:PAD + tile, :].astype(jnp.float32)
+    out_ref[0] = (y5 * 0.2 + res).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile"))
+def rdb_pallas_v3(x: jnp.ndarray, packed, b14, b5, *, interpret=False,
+                  tile=TILE_V2):
+    """Apply one fused 9-tap-staged delta RDB to (B, H, W, 64)."""
+    bsz, h, w, _ = x.shape
+    nty, ntx = _cdiv(h, tile), _cdiv(w, tile)
+    hp, wp = nty * tile, ntx * tile
+    xp = jnp.pad(x, ((0, 0), (PAD, hp - h + PAD), (PAD, wp - w + PAD),
+                     (0, 4 * G - NF)))
+    wx, w1, w2, w3, w4 = packed
+    sw = tile + 2 * PAD
+
+    kernel = functools.partial(_rdb_kernel_v3, (h, w, tile))
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, nty, ntx),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=pl.BlockSpec(
+            (1, tile, tile, NF), lambda b, i, j: (b, i, j, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, wp, NF), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=127 * 1024 * 1024),
+        scratch_shapes=[
+            pltpu.VMEM((sw, sw, 4 * G), x.dtype),          # in_a
+            pltpu.VMEM((sw, sw, 4 * G), x.dtype),          # in_b
+            pltpu.VMEM((sw, sw, 9 * NF), x.dtype),         # b9 (shared staging)
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
