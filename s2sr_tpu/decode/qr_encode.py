@@ -1,0 +1,235 @@
+"""QR encoder (versions 1-10, all EC levels, standard mask selection).
+
+Companion to :mod:`.qr_decode`: generates test vectors, and serves the
+`/api/decode` demo page. Produces a boolean module matrix (True = dark)
+with standard penalty-scored mask choice, interoperable with any
+conformant reader (tests verify against cv2's detector).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .galois import rs_encode
+from .qr_decode import ALNUM, _function_mask
+from .qr_tables import (
+    ALIGNMENT, EC_BLOCKS, ECL_BITS, FORMAT_WORDS, MAX_VERSION,
+    data_capacity, mask_fn, size_for_version,
+)
+
+
+def _pick_mode(text: str) -> int:
+    if text.isdigit():
+        return 1
+    if all(c in ALNUM for c in text):
+        return 2
+    return 4
+
+
+def _count_bits(mode: int, version: int) -> int:
+    return {1: (10, 12), 2: (9, 11), 4: (8, 16)}[mode][0 if version <= 9 else 1]
+
+
+def _encoded_bits(text: str, mode: int, version: int) -> list[int]:
+    bits: list[int] = []
+
+    def push(v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            bits.append((v >> i) & 1)
+
+    push(mode, 4)
+    data = text.encode("utf-8")
+    n_chars = len(text) if mode != 4 else len(data)
+    push(n_chars, _count_bits(mode, version))
+    if mode == 1:
+        for i in range(0, len(text), 3):
+            chunk = text[i:i + 3]
+            push(int(chunk), {3: 10, 2: 7, 1: 4}[len(chunk)])
+    elif mode == 2:
+        for i in range(0, len(text), 2):
+            chunk = text[i:i + 2]
+            if len(chunk) == 2:
+                push(ALNUM.index(chunk[0]) * 45 + ALNUM.index(chunk[1]), 11)
+            else:
+                push(ALNUM.index(chunk[0]), 6)
+    else:
+        for b in data:
+            push(b, 8)
+    return bits
+
+
+def _choose_version(text: str, mode: int, level: str) -> int:
+    for v in range(1, MAX_VERSION + 1):
+        need = len(_encoded_bits(text, mode, v))
+        if need <= data_capacity(v, level) * 8:
+            return v
+    raise ValueError(f"payload too long for version ≤{MAX_VERSION} at level {level}")
+
+
+def _codewords(text: str, mode: int, version: int, level: str) -> np.ndarray:
+    cap = data_capacity(version, level)
+    bits = _encoded_bits(text, mode, version)
+    bits += [0] * min(4, cap * 8 - len(bits))          # terminator
+    while len(bits) % 8:
+        bits.append(0)
+    data = [int("".join(map(str, bits[i:i + 8])), 2)
+            for i in range(0, len(bits), 8)]
+    pad = (0xEC, 0x11)
+    i = 0
+    while len(data) < cap:
+        data.append(pad[i % 2])
+        i += 1
+    data = np.array(data, np.int32)
+
+    ec, groups = EC_BLOCKS[version][level]
+    sizes = [d for n, d in groups for _ in range(n)]
+    blocks, ecs = [], []
+    off = 0
+    for s in sizes:
+        cw = rs_encode(data[off:off + s], ec)
+        blocks.append(cw[:s])
+        ecs.append(cw[s:])
+        off += s
+    out = []
+    for i in range(max(sizes)):
+        for b in blocks:
+            if i < len(b):
+                out.append(int(b[i]))
+    for i in range(ec):
+        for e in ecs:
+            out.append(int(e[i]))
+    return np.array(out, np.int32)
+
+
+def _place_function_patterns(m: np.ndarray, version: int) -> None:
+    size = m.shape[0]
+
+    def finder(r0: int, c0: int) -> None:
+        m[r0:r0 + 7, c0:c0 + 7] = True
+        m[r0 + 1:r0 + 6, c0 + 1:c0 + 6] = False
+        m[r0 + 2:r0 + 5, c0 + 2:c0 + 5] = True
+
+    finder(0, 0)
+    finder(0, size - 7)
+    finder(size - 7, 0)
+    for i in range(8, size - 8):
+        m[6, i] = m[i, 6] = i % 2 == 0
+    centers = ALIGNMENT[version]
+    for r in centers:
+        for c in centers:
+            if (r < 9 and c < 9) or (r < 9 and c > size - 10) \
+                    or (r > size - 10 and c < 9):
+                continue
+            m[r - 2:r + 3, c - 2:c + 3] = True
+            m[r - 1:r + 2, c - 1:c + 2] = False
+            m[r, c] = True
+    m[size - 8, 8] = True                   # dark module
+
+
+def _place_format(m: np.ndarray, level: str, mask_id: int) -> None:
+    size = m.shape[0]
+    word = FORMAT_WORDS[(ECL_BITS[level] << 3) | mask_id]
+    bits = [(word >> (14 - i)) & 1 for i in range(15)]
+    c1_pos = [(8, c) for c in (0, 1, 2, 3, 4, 5, 7, 8)] + \
+             [(r, 8) for r in (7, 5, 4, 3, 2, 1, 0)]
+    c2_pos = [(size - 1 - r, 8) for r in range(7)] + \
+             [(8, size - 8 + c) for c in range(8)]
+    for (r, c), b in zip(c1_pos, bits):
+        m[r, c] = bool(b)
+    for (r, c), b in zip(c2_pos, bits):
+        m[r, c] = bool(b)
+
+
+def _place_data(m: np.ndarray, func: np.ndarray, cw: np.ndarray,
+                mask_id: int) -> None:
+    size = m.shape[0]
+    bits = np.unpackbits(cw.astype(np.uint8)[:, None], axis=1).ravel()
+    mfn = mask_fn(mask_id)
+    k = 0
+    col = size - 1
+    upward = True
+    while col > 0:
+        if col == 6:
+            col -= 1
+        rows = range(size - 1, -1, -1) if upward else range(size)
+        for r in rows:
+            for c in (col, col - 1):
+                if func[r, c]:
+                    continue
+                v = int(bits[k]) if k < len(bits) else 0
+                k += 1
+                if mfn(r, c):
+                    v ^= 1
+                m[r, c] = bool(v)
+        upward = not upward
+        col -= 2
+
+
+def _penalty(m: np.ndarray) -> int:
+    size = m.shape[0]
+    a = m.astype(np.int8)
+    score = 0
+    # N1: runs of ≥5 same-colour modules, both directions
+    for grid in (a, a.T):
+        for row in grid:
+            run = 1
+            for i in range(1, size):
+                if row[i] == row[i - 1]:
+                    run += 1
+                else:
+                    if run >= 5:
+                        score += 3 + run - 5
+                    run = 1
+            if run >= 5:
+                score += 3 + run - 5
+    # N2: 2×2 blocks of one colour
+    blocks = (a[:-1, :-1] == a[1:, :-1]) & (a[:-1, :-1] == a[:-1, 1:]) \
+        & (a[:-1, :-1] == a[1:, 1:])
+    score += 3 * int(blocks.sum())
+    # N3: finder-like 1011101 with 4 light on either side
+    pat = np.array([1, 0, 1, 1, 1, 0, 1], np.int8)
+    light4 = np.zeros(4, np.int8)
+    for grid in (a, a.T):
+        for row in grid:
+            ext = np.concatenate([light4, row, light4])
+            for i in range(len(ext) - 10):
+                w = ext[i:i + 11]
+                if (w[:7] == pat).all() and (w[7:] == 0).all():
+                    score += 40
+                elif (w[4:] == pat).all() and (w[:4] == 0).all():
+                    score += 40
+    # N4: dark-module proportion
+    dark_pct = 100 * a.sum() / a.size
+    score += 10 * int(abs(dark_pct - 50) // 5)
+    return score
+
+
+def encode_qr(text: str, level: str = "M", version: int | None = None,
+              mask: int | None = None) -> np.ndarray:
+    """Encode ``text`` → boolean module matrix (True = dark)."""
+    mode = _pick_mode(text)
+    v = version or _choose_version(text, mode, level)
+    if not 1 <= v <= MAX_VERSION:
+        raise ValueError(f"version {v} out of range 1..{MAX_VERSION}")
+    size = size_for_version(v)
+    cw = _codewords(text, mode, v, level)
+    func = _function_mask(v, size)
+
+    def build(mask_id: int) -> np.ndarray:
+        m = np.zeros((size, size), bool)
+        _place_function_patterns(m, v)
+        _place_format(m, level, mask_id)
+        _place_data(m, func, cw, mask_id)
+        return m
+
+    if mask is not None:
+        return build(mask)
+    candidates = [build(i) for i in range(8)]
+    return candidates[int(np.argmin([_penalty(c) for c in candidates]))]
+
+
+def render(modules: np.ndarray, scale: int = 8, border: int = 4) -> np.ndarray:
+    """Module matrix → uint8 grayscale image (dark=0) with quiet zone."""
+    m = np.pad(modules, border, constant_values=False)
+    img = np.where(m, 0, 255).astype(np.uint8)
+    return np.kron(img, np.ones((scale, scale), np.uint8))

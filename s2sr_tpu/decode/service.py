@@ -1,0 +1,125 @@
+"""Decode orchestration: QR (+optional OCR) with SR-enhance retry.
+
+Server-side rebuild of the reference client's scan flow
+(`client/src/app/enhance/enhance.component.ts:251-359`): try to read
+the uploaded photo as-is; when nothing decodes (or the read is
+low-quality per :func:`..decode.serial.should_retry_with_enhancement`),
+run the image through the Real-ESRGAN engine and try again.
+
+OCR: the reference uses Tesseract.js in the browser. A server
+Tesseract is not bundled; when ``pytesseract`` + the binary are
+present they are used, otherwise the response carries an explicit
+``{"available": false}`` marker (loud degraded mode, mirroring the
+pretrained-weights policy) and the flow continues QR-only.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable
+
+import numpy as np
+
+from .qr_decode import QRResult, decode_qr
+from .serial import extract_serial, should_retry_with_enhancement
+
+logger = logging.getLogger(__name__)
+
+EnhanceFn = Callable[[np.ndarray], np.ndarray]
+
+
+def _try_ocr(image: np.ndarray) -> dict:
+    try:
+        import pytesseract  # type: ignore
+        from PIL import Image
+
+        data = pytesseract.image_to_data(
+            Image.fromarray(image), output_type=pytesseract.Output.DICT)
+        words = [
+            {"text": t, "confidence": float(c)}
+            for t, c in zip(data["text"], data["conf"])
+            if t.strip() and float(c) >= 0
+        ]
+        text = " ".join(w["text"] for w in words)
+        conf = (sum(w["confidence"] for w in words) / len(words)
+                if words else 0.0)
+        return {"available": True, "text": text, "confidence": conf,
+                "words": words}
+    except ImportError:
+        return {"available": False, "text": "", "confidence": 0.0,
+                "words": [],
+                "reason": "pytesseract/tesseract not installed"}
+    except Exception as exc:  # noqa: BLE001 — OCR failure is non-fatal
+        return {"available": False, "text": "", "confidence": 0.0,
+                "words": [], "reason": str(exc)}
+
+
+def _qr_dict(r: QRResult) -> dict:
+    return {
+        "text": r.text, "version": r.version, "ec_level": r.ec_level,
+        "mask": r.mask, "errors_corrected": r.errors_corrected,
+        "inverted": r.inverted, "mirrored": r.mirrored,
+        "location": r.location,
+    }
+
+
+def decode_with_retry(image: np.ndarray, *, enhance_fn: EnhanceFn | None = None,
+                      try_ocr: bool = True) -> dict:
+    """Full scan flow: QR → OCR → serial, with one SR-enhanced retry.
+
+    ``enhance_fn`` maps an (H, W, 3) uint8 image to an upscaled uint8
+    image (the server passes the Real-ESRGAN engine); ``None`` disables
+    the retry leg.
+    """
+    image = np.asarray(image)
+    attempts: list[dict] = []
+
+    def scan(img: np.ndarray, stage: str) -> dict:
+        qr = decode_qr(img)
+        ocr = _try_ocr(img) if try_ocr else {
+            "available": False, "text": "", "confidence": 0.0, "words": []}
+        serial = None
+        if qr is not None:
+            serial = extract_serial(qr.text) or (
+                qr.text if qr.text.strip() else None)
+        if serial is None and ocr["available"]:
+            serial = extract_serial(ocr["text"], ocr["words"])
+        rec = {"stage": stage,
+               "qr": _qr_dict(qr) if qr else None,
+               "ocr_confidence": ocr["confidence"],
+               "ocr_available": ocr["available"],
+               "serial": serial}
+        attempts.append(rec)
+        return {"qr": qr, "ocr": ocr, "serial": serial}
+
+    first = scan(image, "original")
+    confidence = 100.0 if first["qr"] else first["ocr"]["confidence"]
+    retry = should_retry_with_enhancement(confidence, first["serial"])
+
+    best = first
+    enhanced = False
+    if retry and enhance_fn is not None:
+        logger.info("decode: retrying with SR enhancement")
+        try:
+            up = np.asarray(enhance_fn(image))
+            enhanced = True
+            second = scan(up, "enhanced")
+            second_better = second["qr"] is not None or (
+                first["qr"] is None and (
+                    (second["serial"] is not None
+                     and first["serial"] is None)
+                    or second["ocr"]["confidence"]
+                    > first["ocr"]["confidence"]))
+            if second_better:
+                best = second
+        except Exception as exc:  # noqa: BLE001 — keep the first-pass answer
+            logger.error("decode enhancement retry failed: %s", exc)
+            attempts.append({"stage": "enhanced", "error": str(exc)})
+
+    return {
+        "qr": _qr_dict(best["qr"]) if best["qr"] else None,
+        "serial": best["serial"],
+        "ocr": {k: v for k, v in best["ocr"].items() if k != "words"},
+        "retried_with_enhancement": enhanced,
+        "attempts": attempts,
+    }

@@ -494,6 +494,44 @@ def create_app(settings: Optional[Settings] = None,
         return {"job_id": job_id, "status": status, "message": message,
                 "model": model}
 
+    @app.post("/api/decode")
+    async def decode_upload(request: Request):
+        """QR/serial scan with SR-enhance retry — server-side port of the
+        reference client's jsQR/Tesseract flow
+        (`enhance.component.ts:251-359`, `qr-ocr.service.ts`)."""
+        fields, files = request.multipart()
+        if "image" not in files:
+            raise HTTPException(400, "missing 'image' upload field")
+        upload = files["image"]
+        if len(upload.content) > settings.max_upload_bytes:
+            raise HTTPException(
+                413, f"Upload exceeds maximum allowed size of "
+                     f"{settings.max_upload_bytes // (1024 * 1024)} MB")
+        import io as _io
+
+        from PIL import Image as _Image
+
+        from ..decode.service import decode_with_retry
+
+        try:
+            img = np.asarray(
+                _Image.open(_io.BytesIO(upload.content)).convert("RGB"))
+        except Exception:
+            raise HTTPException(400, "could not decode uploaded image")
+        if img.shape[0] * img.shape[1] > 16_000_000:
+            raise HTTPException(413, "image too large to scan (>16 MPix)")
+
+        enhance_fn = None
+        if fields.get("enhance_retry", "true").lower() != "false":
+            def enhance_fn(arr):
+                from ..models.engine import get_engine
+
+                return get_engine("realesrgan_x4").enhance(arr)
+
+        result = decode_with_retry(img, enhance_fn=enhance_fn)
+        result["filename"] = Path(upload.filename or "").name or "upload"
+        return result
+
     # ------------------------------------------------------------------
     # vectors (main.py:702-950)
     # ------------------------------------------------------------------

@@ -380,3 +380,50 @@ def test_enhance_jobs_coalesce_end_to_end(app):
         job = app.jobs.get(jid)
         assert job["status"] == "completed", job["message"]
         assert job.get("coalesced") == 2
+
+
+def test_api_decode_qr_upload(app):
+    """/api/decode scans an uploaded QR image (QR/serial flow,
+    reference qr-ocr.service.ts rebuilt server-side)."""
+    import io
+
+    from PIL import Image
+
+    from s2sr_tpu.decode import encode_qr
+    from s2sr_tpu.decode.qr_encode import render
+
+    img = render(encode_qr("KBTX1234567890123", level="M"), scale=8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+
+    boundary = "bqr"
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="enhance_retry"\r\n\r\n'
+        f"false\r\n"
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="image"; filename="plate.png"\r\n'
+        f"Content-Type: image/png\r\n\r\n"
+    ).encode() + buf.getvalue() + f"\r\n--{boundary}--\r\n".encode()
+    headers = {"content-type": f"multipart/form-data; boundary={boundary}"}
+
+    resp, payload = asyncio.run(call(
+        app, "POST", "/api/decode", body=body, headers=headers))
+    assert resp.status_code == 200
+    assert payload["qr"]["text"] == "KBTX1234567890123"
+    assert payload["serial"] == "KBTX1234567890123"
+    assert payload["attempts"][0]["stage"] == "original"
+    assert not payload["retried_with_enhancement"]
+
+
+def test_api_decode_rejects_non_image(app):
+    boundary = "bqr2"
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="image"; filename="x.png"\r\n'
+        f"Content-Type: image/png\r\n\r\n"
+    ).encode() + b"not an image" + f"\r\n--{boundary}--\r\n".encode()
+    headers = {"content-type": f"multipart/form-data; boundary={boundary}"}
+    resp, _ = asyncio.run(call(
+        app, "POST", "/api/decode", body=body, headers=headers))
+    assert resp.status_code == 400
