@@ -184,18 +184,29 @@ class SREngine:
     # -- bucketed serving path (warm-executable for any upload size) ----
 
     def _run_chunked(self, wins: np.ndarray) -> np.ndarray:
-        """(N, wh, ww, 3) uint8 windows → (N, s·wh, s·ww, 3) uint8, in
-        fixed ``batch_size`` chunks so every call hits one executable."""
+        """(N, wh, ww, 3) uint8 windows → (N, s·wh, s·ww, 3) uint8,
+        decomposed into power-of-two chunks ≤ ``batch_size``.
+
+        Any N is covered exactly by its binary decomposition (plus
+        repeated max-size chunks), so a 1-window image costs one
+        batch-1 dispatch — not a ``batch_size``-padded one — while the
+        executable set stays fixed (log2(batch_size)+1 shapes, all warm
+        after first use; the persistent XLA cache covers cold starts)."""
         n = wins.shape[0]
         bs = self.batch_size
-        n_padded = -(-n // bs) * bs
-        if n_padded != n:
-            wins = np.concatenate(
-                [wins, np.repeat(wins[-1:], n_padded - n, axis=0)], axis=0)
         outs = []
-        for k in range(0, n_padded, bs):
+        k = 0
+        while k < n:
+            rem = n - k
+            step = bs
+            while step > rem:
+                step //= 2
+            if step < 1:
+                step = 1
+            chunk = wins[k:k + step]
             outs.append(np.asarray(jax.device_get(
-                self._chunk_fn(self.params, jnp.asarray(wins[k:k + bs])))))
+                self._chunk_fn(self.params, jnp.asarray(chunk)))))
+            k += step
         return np.concatenate(outs, axis=0)[:n]
 
     def _serving_parts(self, img: np.ndarray):
