@@ -48,7 +48,8 @@ def main() -> None:
 
     from s2sr_tpu.models.rrdbnet import RRDBNet, _rdb
     from s2sr_tpu.ops.pallas.fused_rdb import (
-        pack_rdb_weights, pack_rdb_weights_v2, rdb_pallas, rdb_pallas_v2,
+        pack_rdb_weights, pack_rdb_weights_v2, pack_rdb_weights_v3,
+        rdb_pallas, rdb_pallas_v2, rdb_pallas_v3,
     )
 
     backend = jax.default_backend()
@@ -76,6 +77,13 @@ def main() -> None:
         err = float(np.abs(got - want).max())
         print(json.dumps({"check": "v2_exact", "max_err": err}))
         assert err < 1e-4, f"v2 inexact on {backend}: {err}"
+    if "v3" in variants:
+        packed3, b14_3, b5_3 = pack_rdb_weights_v3(p, dtype=jnp.float32)
+        # fp32 doubles every VMEM buffer; gate at tile=64 (input is 40×72)
+        got = np.asarray(rdb_pallas_v3(xs, packed3, b14_3, b5_3, tile=64))
+        err = float(np.abs(got - want).max())
+        print(json.dumps({"check": "v3_exact", "max_err": err}))
+        assert err < 1e-4, f"v3 inexact on {backend}: {err}"
 
     # ---- throughput (bf16, chained) ------------------------------------
     b, h, w = (int(v) for v in args.shape.split(","))
@@ -98,6 +106,10 @@ def main() -> None:
     if "v2" in variants:
         fns["v2"] = chain(lambda v: rdb_pallas_v2(v, packed2b, b14_2b,
                                                   b5_2b, tile=args.tile))
+    if "v3" in variants:
+        packed3b, b14_3b, b5_3b = pack_rdb_weights_v3(p, dtype=jnp.bfloat16)
+        fns["v3"] = chain(lambda v: rdb_pallas_v3(v, packed3b, b14_3b,
+                                                  b5_3b, tile=args.tile))
 
     useful = b * h * w * FLOPS_PER_PX_RDB * R
     for name, fn in fns.items():
