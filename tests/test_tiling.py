@@ -223,3 +223,31 @@ def test_enhance_serving_bucketed(rng, tmp_path):
     img_c = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
     np.testing.assert_array_equal(engine.enhance_serving(img_c),
                                   engine.enhance(img_c))
+
+
+def test_run_chunked_pow2_decomposition(rng, tmp_path):
+    """_run_chunked must not pad small batches up to batch_size (the r2
+    regression: a 1-window image computed 16 copies). Any N decomposes
+    into power-of-two chunks that sum to exactly N."""
+    from s2sr_tpu.models.engine import SREngine
+
+    calls = []
+
+    class FakeEngine:
+        batch_size = 16
+        params = None
+
+        def _chunk_fn(self, params, batch):
+            calls.append(batch.shape[0])
+            return batch
+
+    fake = FakeEngine()
+    for n in (1, 2, 3, 5, 11, 16, 17, 37):
+        calls.clear()
+        wins = rng.integers(0, 255, (n, 8, 8, 3)).astype(np.uint8)
+        out = SREngine._run_chunked(fake, wins)
+        assert out.shape[0] == n
+        np.testing.assert_array_equal(out, wins)
+        assert sum(calls) == n, (n, calls)           # exact work
+        assert all(c & (c - 1) == 0 for c in calls)  # powers of two
+        assert max(calls) <= 16
