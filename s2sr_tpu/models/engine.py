@@ -116,6 +116,10 @@ class SREngine:
                 "real quality", model_name, weights_dir,
             )
         scale, dtype_ = self.scale, self.dtype
+        # keep the x4-res upsample activations bounded: batches beyond 16
+        # windows run the trunk whole but the upsample tail in groups of
+        # 16 (batch-32 monolithic needs ~19.6 GB HBM — BENCH_NOTES r2)
+        up_sub = 16 if batch_size > 16 else None
 
         opts = _tpu_compiler_options()
         if self.family == "swinir":
@@ -123,7 +127,8 @@ class SREngine:
                 return model_apply(params, batch)
         else:
             def batch_fn_raw(params, batch):
-                return rrdbnet_apply(params, batch, scale=scale, dtype=dtype_)
+                return rrdbnet_apply(params, batch, scale=scale, dtype=dtype_,
+                                     up_sub_batch=up_sub)
         batch_fn = jax.jit(batch_fn_raw, compiler_options=opts)
 
         self._batch_fn = batch_fn
@@ -148,7 +153,8 @@ class SREngine:
                     return model_apply(params, b)
             else:
                 def model(b):
-                    return rrdbnet_apply(params, b, scale=scale, dtype=dtype_)
+                    return rrdbnet_apply(params, b, scale=scale, dtype=dtype_,
+                                         up_sub_batch=up_sub)
 
             if h * w > tile * tile * 4:
                 out = tiled_apply(model, x, tile=tile, pad=pad, scale=scale,
@@ -171,7 +177,8 @@ class SREngine:
             if bgr:
                 x = x[..., ::-1]
             out = (model_apply(params, x) if family == "swinir"
-                   else rrdbnet_apply(params, x, scale=scale, dtype=dtype_))
+                   else rrdbnet_apply(params, x, scale=scale, dtype=dtype_,
+                                      up_sub_batch=up_sub))
             if bgr:
                 out = out[..., ::-1]
             return jnp.trunc(jnp.clip(out * 255.0, 0.0, 255.0)).astype(jnp.uint8)

@@ -112,17 +112,20 @@ def _rdb(x: jnp.ndarray, p: Params, dtype) -> jnp.ndarray:
 
 
 def _rdb_packed(x: jnp.ndarray, p: Params, dtype) -> jnp.ndarray:
-    """Delta RDB with an eagerly-accumulated, suffix-shrinking buffer.
+    """Delta RDB with an eagerly-accumulated, prefix-shrinking buffer.
 
     Same per-source wide convs as :func:`_rdb`, but instead of keeping
     every wide output alive and summing 32-lane slices lazily at each
     activation (stage k reads k different wide tensors — the r1
     isolation measured those lane-padded slice reads at ~30% of RDB
     time), the future-stage contributions live in ONE accumulator laid
-    out ``[a_{k+1}|…|a4|a5]``. The weight column order already matches,
-    so each stage is: drop the consumed 32-lane prefix, add the new
-    conv's output densely, activate the next prefix. Addition order per
-    lane is unchanged → bit-identical to :func:`_rdb` in any dtype.
+    out ``[a5|a4|…|a_{k+1}]``. The weight column order matches, so each
+    stage is: drop the consumed 32-lane *tail*, add the new conv's
+    output densely (a lane-0-aligned prefix slice — the hot operand
+    stays tile-aligned; measured +5% over the suffix layout), activate
+    the next tail. Addition order per lane is unchanged → bit-identical
+    to :func:`_rdb` in any dtype. Measured 35.8 → 46.0 TF/s over
+    :func:`_rdb` on v5e (BENCH_NOTES r2).
     """
     g = p["conv1"]["kernel"].shape[-1]
     nf = x.shape[-1]
@@ -130,24 +133,24 @@ def _rdb_packed(x: jnp.ndarray, p: Params, dtype) -> jnp.ndarray:
     def x_slice(k, lo, hi):
         return p[f"conv{k}"]["kernel"][:, :, lo:hi, :]
 
-    wx = jnp.concatenate([x_slice(k, 0, nf) for k in (1, 2, 3, 4, 5)], axis=-1)
-    w1 = jnp.concatenate([x_slice(k, nf, nf + g) for k in (2, 3, 4, 5)], axis=-1)
-    w2 = jnp.concatenate([x_slice(k, nf + g, nf + 2 * g) for k in (3, 4, 5)], axis=-1)
-    w3 = jnp.concatenate([x_slice(k, nf + 2 * g, nf + 3 * g) for k in (4, 5)], axis=-1)
+    wx = jnp.concatenate([x_slice(k, 0, nf) for k in (5, 4, 3, 2, 1)], axis=-1)
+    w1 = jnp.concatenate([x_slice(k, nf, nf + g) for k in (5, 4, 3, 2)], axis=-1)
+    w2 = jnp.concatenate([x_slice(k, nf + g, nf + 2 * g) for k in (5, 4, 3)], axis=-1)
+    w3 = jnp.concatenate([x_slice(k, nf + 2 * g, nf + 3 * g) for k in (5, 4)], axis=-1)
     w4 = x_slice(5, nf + 3 * g, nf + 4 * g)
 
     def b(k):
         return p[f"conv{k}"]["bias"].astype(dtype)
 
-    acc = _conv_raw(x, wx, dtype)                      # [a1|a2|a3|a4|a5] 192
-    x1 = _lrelu(acc[..., :g] + b(1))
-    acc = acc[..., g:] + _conv_raw(x1, w1, dtype)      # [a2|a3|a4|a5] 160
-    x2 = _lrelu(acc[..., :g] + b(2))
-    acc = acc[..., g:] + _conv_raw(x2, w2, dtype)      # [a3|a4|a5] 128
-    x3 = _lrelu(acc[..., :g] + b(3))
-    acc = acc[..., g:] + _conv_raw(x3, w3, dtype)      # [a4|a5] 96
-    x4 = _lrelu(acc[..., :g] + b(4))
-    x5 = acc[..., g:] + _conv_raw(x4, w4, dtype) + b(5)
+    acc = _conv_raw(x, wx, dtype)                       # [a5|a4|a3|a2|a1] 192
+    x1 = _lrelu(acc[..., -g:] + b(1))
+    acc = acc[..., :-g] + _conv_raw(x1, w1, dtype)      # [a5|a4|a3|a2] 160
+    x2 = _lrelu(acc[..., -g:] + b(2))
+    acc = acc[..., :-g] + _conv_raw(x2, w2, dtype)      # [a5|a4|a3] 128
+    x3 = _lrelu(acc[..., -g:] + b(3))
+    acc = acc[..., :-g] + _conv_raw(x3, w3, dtype)      # [a5|a4] 96
+    x4 = _lrelu(acc[..., -g:] + b(4))
+    x5 = acc[..., :-g] + _conv_raw(x4, w4, dtype) + b(5)
     return x5 * jnp.asarray(0.2, dtype) + x
 
 
@@ -221,6 +224,7 @@ def rrdbnet_apply(
     scale: int = 4,
     dtype: jnp.dtype = jnp.bfloat16,
     use_pallas: bool = False,
+    up_sub_batch: int | None = None,
 ) -> jnp.ndarray:
     """Forward pass. ``x``: (N, H, W, 3) float in [0, 1] → (N, sH, sW, 3).
 
@@ -228,18 +232,29 @@ def rrdbnet_apply(
     the body runs as one ``lax.scan``. With ``use_pallas`` the residual
     dense blocks run through the fused Pallas kernel
     (:mod:`s2sr_tpu.ops.pallas.fused_rdb`) instead of XLA convs.
+
+    ``up_sub_batch`` splits the upsample tail into sequential
+    ``lax.map`` groups of that size: the low-res trunk (92% of FLOPs)
+    runs at the full batch — bigger batches measure ~+7% MXU rate —
+    while the ×4-resolution activations (the HBM peak: batch 32 of
+    276² windows needs ~19.6 GB monolithic) only ever exist for one
+    sub-group. Identical math and output order.
     """
     feat = _conv(x, params["conv_first"], dtype)
 
     if use_pallas:
-        from ..ops.pallas.fused_rdb import pack_rdb_weights, rdb_pallas
+        # v2 is the best-measured Pallas RDB (34.7 TF/s @ tile 144 vs
+        # 13.6 for v1 — BENCH_NOTES r2); still behind the packed XLA
+        # path (46.0), so this stays opt-in for kernel development.
+        from ..ops.pallas.fused_rdb import pack_rdb_weights_v2, rdb_pallas_v2
 
         def block(carry, block_params):
             out = carry
             for name in ("rdb1", "rdb2", "rdb3"):
-                packed, b14, b5 = pack_rdb_weights(block_params[name],
-                                                   dtype=dtype)
-                out = rdb_pallas(out.astype(dtype), packed, b14, b5)
+                packed, b14, b5 = pack_rdb_weights_v2(block_params[name],
+                                                      dtype=dtype)
+                out = rdb_pallas_v2(out.astype(dtype), packed, b14, b5,
+                                    tile=144)
             return out * jnp.asarray(0.2, dtype) + carry, None
     else:
         def block(carry, block_params):
@@ -249,12 +264,20 @@ def rrdbnet_apply(
     body_feat = _conv(body_feat, params["conv_body"], dtype)
     feat = feat + body_feat
 
-    feat = _lrelu(_up_conv_fused(feat, params["conv_up1"], dtype))
-    if scale == 4:
-        feat = _lrelu(_up_conv_fused(feat, params["conv_up2"], dtype))
-    feat = _lrelu(_conv(feat, params["conv_hr"], dtype))
-    out = _conv(feat, params["conv_last"], dtype)
-    return out.astype(jnp.float32)
+    def upsample(f: jnp.ndarray) -> jnp.ndarray:
+        f = _lrelu(_up_conv_fused(f, params["conv_up1"], dtype))
+        if scale == 4:
+            f = _lrelu(_up_conv_fused(f, params["conv_up2"], dtype))
+        f = _lrelu(_conv(f, params["conv_hr"], dtype))
+        return _conv(f, params["conv_last"], dtype).astype(jnp.float32)
+
+    n = feat.shape[0]
+    if up_sub_batch and 0 < up_sub_batch < n and n % up_sub_batch == 0:
+        groups = feat.reshape(n // up_sub_batch, up_sub_batch,
+                              *feat.shape[1:])
+        out = jax.lax.map(upsample, groups)
+        return out.reshape(n, *out.shape[2:])
+    return upsample(feat)
 
 
 class RRDBNet:

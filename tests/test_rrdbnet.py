@@ -159,3 +159,23 @@ class TestWeights:
         out = convert_checkpoint(tmp_path / "custom.pth", tmp_path / "custom.npz")
         p = load_params(out)
         assert p["body"]["rdb1"]["conv1"]["kernel"].shape == (NB, 3, 3, NF, GC)
+
+
+def test_packed_rdb_bit_identical():
+    """The packed-accumulator RDB must stay bit-identical to the lazy
+    delta form in fp32 AND bf16 (it reorders memory, never arithmetic)."""
+    import jax
+    import jax.numpy as jnp
+
+    from s2sr_tpu.models.rrdbnet import RRDBNet, _rdb, _rdb_packed
+
+    net = RRDBNet(num_feat=64, num_block=1, num_grow_ch=32)
+    params = net.init(jax.random.PRNGKey(0))
+    p = jax.tree.map(lambda a: a[0], params["body"]["rdb1"])
+    rng = np.random.default_rng(7)
+    xs = jnp.asarray(rng.random((2, 24, 40, 64)), jnp.float32)
+    for dtype in (jnp.float32, jnp.bfloat16):
+        a = np.asarray(_rdb(xs.astype(dtype), p, dtype).astype(jnp.float32))
+        b = np.asarray(
+            _rdb_packed(xs.astype(dtype), p, dtype).astype(jnp.float32))
+        np.testing.assert_array_equal(a, b)
