@@ -201,7 +201,7 @@ class SREngine:
         after first use; the persistent XLA cache covers cold starts)."""
         n = wins.shape[0]
         bs = self.batch_size
-        outs = []
+        pending = []
         k = 0
         while k < n:
             rem = n - k
@@ -210,10 +210,12 @@ class SREngine:
                 step //= 2
             if step < 1:
                 step = 1
-            chunk = wins[k:k + step]
-            outs.append(np.asarray(jax.device_get(
-                self._chunk_fn(self.params, jnp.asarray(chunk)))))
+            # dispatch-ahead: jax enqueues asynchronously, so chunk k+1
+            # computes while chunk k's result streams back to the host
+            pending.append(self._chunk_fn(self.params,
+                                          jnp.asarray(wins[k:k + step])))
             k += step
+        outs = [np.asarray(jax.device_get(o)) for o in pending]
         return np.concatenate(outs, axis=0)[:n]
 
     def _serving_parts(self, img: np.ndarray):

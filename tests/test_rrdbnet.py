@@ -179,3 +179,25 @@ def test_packed_rdb_bit_identical():
         b = np.asarray(
             _rdb_packed(xs.astype(dtype), p, dtype).astype(jnp.float32))
         np.testing.assert_array_equal(a, b)
+
+
+def test_up_sub_batch_identical():
+    """Sub-batched upsample tail must be byte-identical to monolithic
+    (it only reorders memory residency, never math)."""
+    import jax
+    import jax.numpy as jnp
+
+    from s2sr_tpu.models.rrdbnet import RRDBNet, rrdbnet_apply
+
+    net = RRDBNet(num_feat=16, num_block=2, num_grow_ch=8)
+    params = net.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((4, 16, 16, 3)), jnp.float32)
+    a = np.asarray(rrdbnet_apply(params, x, dtype=jnp.float32))
+    b = np.asarray(rrdbnet_apply(params, x, dtype=jnp.float32,
+                                 up_sub_batch=2))
+    np.testing.assert_array_equal(a, b)
+    # non-dividing / oversized sub-batch falls back to monolithic
+    c = np.asarray(rrdbnet_apply(params, x, dtype=jnp.float32,
+                                 up_sub_batch=3))
+    np.testing.assert_array_equal(a, c)
