@@ -272,6 +272,47 @@ def _refine_alignment(b: np.ndarray, est: np.ndarray, ms: float
     return best if best is not None else est
 
 
+def _ms_along(b: np.ndarray, center: np.ndarray, toward: np.ndarray
+              ) -> float | None:
+    """Module size measured along the center→toward direction: walk out
+    of the finder core and time the 1.5/2.5/3.5-module transitions.
+    Axis-aligned scanline estimates inflate by 1/cos(θ) under rotation;
+    this direction-aware measure does not."""
+    h, w = b.shape
+    d = toward - center
+    norm = float(np.hypot(d[0], d[1]))
+    if norm < 1e-6:
+        return None
+    step = d / norm
+
+    def walk(sgn: float) -> float | None:
+        # expect: dark core → light ring → dark ring; return t at the
+        # dark ring's outer edge (3.5 modules from center)
+        t = 0.0
+        state = 0            # 0 in-core, 1 in light ring, 2 in dark ring
+        while t < norm:
+            x = center + step * (t * sgn)
+            xi, yi = int(round(x[0])), int(round(x[1]))
+            if not (0 <= xi < w and 0 <= yi < h):
+                return None
+            dark = bool(b[yi, xi])
+            if state == 0 and not dark:
+                state = 1
+            elif state == 1 and dark:
+                state = 2
+            elif state == 2 and not dark:
+                return t
+            t += 0.5
+        return None
+
+    t_fwd = walk(1.0)
+    t_back = walk(-1.0)
+    ts = [t for t in (t_fwd, t_back) if t is not None]
+    if not ts:
+        return None
+    return float(np.mean(ts)) / 3.5
+
+
 def extract_matrices(b: np.ndarray):
     """Yield (module_matrix, corner_list) candidates from a binarized
     image, most promising triple first."""
@@ -294,44 +335,59 @@ def extract_matrices(b: np.ndarray):
             continue
         tried += 1
 
-        dim = int(round((d_top / ms + d_left / ms) / 2)) + 7
-        dim = max(21, min(4 * MAX_VERSION + 17, (dim - 17 + 2) // 4 * 4 + 17))
-        n_mod = dim - 7.0
+        # direction-aware module size (rotation-proof); scanline ms as
+        # fallback when the walk fails
+        ms_t = _ms_along(b, tl, tr)
+        ms_l = _ms_along(b, tl, bl)
+        dir_ms = [m for m in (ms_t, ms_l) if m]
+        ms_est = float(np.mean(dir_ms)) if dir_ms else ms
+        dim0 = int(round((d_top + d_left) / (2 * ms_est))) + 7
 
-        u = (tr - tl) / n_mod
-        v = (bl - tl) / n_mod
-        if dim > 21:
-            est = tl + (u + v) * (dim - 10)
-            p4 = _refine_alignment(b, est, ms)
-            mod4 = (dim - 6.5, dim - 6.5)
-        else:
-            p4 = tl + (u + v) * n_mod
-            mod4 = (dim - 3.5, dim - 3.5)
+        def snap(d):
+            return max(21, min(4 * MAX_VERSION + 17,
+                               (d - 17 + 2) // 4 * 4 + 17))
 
-        src = np.array([(3.5, 3.5), (dim - 3.5, 3.5), (3.5, dim - 3.5),
-                        mod4], np.float64)
-        dst = np.array([tl, tr, bl, p4], np.float64)
-        try:
-            H = _homography(src, dst)
-        except np.linalg.LinAlgError:
-            continue
+        dims = []
+        for cand in (snap(dim0), snap(dim0) - 4, snap(dim0) + 4):
+            if 21 <= cand <= 4 * MAX_VERSION + 17 and cand not in dims:
+                dims.append(cand)
 
-        jj, ii = np.meshgrid(np.arange(dim) + 0.5, np.arange(dim) + 0.5)
-        pts = np.stack([jj.ravel(), ii.ravel(), np.ones(dim * dim)])
-        mapped = H @ pts
-        xs = mapped[0] / mapped[2]
-        ys = mapped[1] / mapped[2]
-        xi = np.clip(np.round(xs).astype(int), 0, w - 1)
-        yi = np.clip(np.round(ys).astype(int), 0, h - 1)
-        oob = ((xs < -1) | (xs > w) | (ys < -1) | (ys > h))
-        if oob.mean() > 0.05:
-            continue
-        matrix = b[yi, xi].reshape(dim, dim)
+        for dim in dims:
+            n_mod = dim - 7.0
+            u = (tr - tl) / n_mod
+            v = (bl - tl) / n_mod
+            if dim > 21:
+                est = tl + (u + v) * (dim - 10)
+                p4 = _refine_alignment(b, est, ms)
+                mod4 = (dim - 6.5, dim - 6.5)
+            else:
+                p4 = tl + (u + v) * n_mod
+                mod4 = (dim - 3.5, dim - 3.5)
 
-        corners_mod = np.array([(0, 0), (dim, 0), (dim, dim), (0, dim)],
-                               np.float64)
-        cpts = np.concatenate([corners_mod.T, np.ones((1, 4))])
-        cm = H @ cpts
-        corners = [(float(x / z), float(y / z))
-                   for x, y, z in zip(cm[0], cm[1], cm[2])]
-        yield matrix, corners
+            src = np.array([(3.5, 3.5), (dim - 3.5, 3.5), (3.5, dim - 3.5),
+                            mod4], np.float64)
+            dst = np.array([tl, tr, bl, p4], np.float64)
+            try:
+                H = _homography(src, dst)
+            except np.linalg.LinAlgError:
+                continue
+
+            jj, ii = np.meshgrid(np.arange(dim) + 0.5, np.arange(dim) + 0.5)
+            pts = np.stack([jj.ravel(), ii.ravel(), np.ones(dim * dim)])
+            mapped = H @ pts
+            xs = mapped[0] / mapped[2]
+            ys = mapped[1] / mapped[2]
+            xi = np.clip(np.round(xs).astype(int), 0, w - 1)
+            yi = np.clip(np.round(ys).astype(int), 0, h - 1)
+            oob = ((xs < -1) | (xs > w) | (ys < -1) | (ys > h))
+            if oob.mean() > 0.05:
+                continue
+            matrix = b[yi, xi].reshape(dim, dim)
+
+            corners_mod = np.array([(0, 0), (dim, 0), (dim, dim), (0, dim)],
+                                   np.float64)
+            cpts = np.concatenate([corners_mod.T, np.ones((1, 4))])
+            cm = H @ cpts
+            corners = [(float(x / z), float(y / z))
+                       for x, y, z in zip(cm[0], cm[1], cm[2])]
+            yield matrix, corners

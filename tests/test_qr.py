@@ -275,3 +275,49 @@ def test_decode_with_retry_ocr_unavailable_is_loud(base_img):
     assert out["ocr"]["available"] in (False, True)  # env-dependent
     if not out["ocr"]["available"]:
         assert "reason" in out["ocr"]
+
+
+def test_fuzz_decode_rate(rng):
+    """Seeded robustness fuzz: random payload/level/scale with rotation,
+    perspective, or noise per case. Locked at ≥90% decode (current
+    implementation measures ~97% on the wider 120-case sweep)."""
+    import random
+    import string
+
+    random.seed(11)
+    ok = 0
+    N = 32
+    for i in range(N):
+        n = int(rng.integers(5, 60))
+        payload = "".join(random.choices(
+            string.ascii_uppercase + string.digits + "-", k=n))
+        level = random.choice("LMQH")
+        scale = int(rng.integers(4, 12))
+        img = render(encode_qr(payload, level=level), scale=scale, border=4)
+        h, w = img.shape
+        mode = i % 4
+        if mode == 1:
+            M = cv2.getRotationMatrix2D(
+                (w / 2, h / 2), float(rng.uniform(-40, 40)),
+                float(rng.uniform(0.7, 1.0)))
+            img = cv2.warpAffine(img, M, (w, h), borderValue=255)
+        elif mode == 2:
+            def j():
+                return float(rng.uniform(0, 0.08))
+            src = np.float32([[0, 0], [w, 0], [w, h], [0, h]])
+            dst = np.float32([[w * j(), h * j()], [w * (1 - j()), h * j()],
+                              [w * (1 - j()), h * (1 - j())],
+                              [w * j(), h * (1 - j())]])
+            img = cv2.warpPerspective(
+                img, cv2.getPerspectiveTransform(src, dst), (w, h),
+                borderValue=255)
+        elif mode == 3:
+            img = cv2.GaussianBlur(img, (3, 3), float(rng.uniform(0.3, 1.0)))
+            img = np.clip(img.astype(np.int16)
+                          + rng.normal(0, 8, img.shape), 0, 255).astype(np.uint8)
+            if i % 8 == 3:
+                img = 255 - img
+        r = decode_qr(img)
+        if r is not None and r.text == payload:
+            ok += 1
+    assert ok / N >= 0.90, f"fuzz decode rate {ok}/{N}"
