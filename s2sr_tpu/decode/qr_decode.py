@@ -188,8 +188,16 @@ def _parse_stream(data: np.ndarray, version: int) -> str:
         mode = r.take(4)
         if mode == 0:                       # terminator
             break
-        if mode == 0b0111:                  # ECI — note and continue
-            r.take(8)
+        if mode == 0b0111:                  # ECI — skip the designator
+            first = r.take(8)
+            if first & 0b1000_0000 == 0:
+                pass                         # 1-byte designator (0-127)
+            elif first & 0b1100_0000 == 0b1000_0000:
+                r.take(8)                    # 2-byte (prefix 10)
+            elif first & 0b1110_0000 == 0b1100_0000:
+                r.take(16)                   # 3-byte (prefix 110)
+            else:
+                raise ValueError("invalid ECI designator")
             continue
         if mode == 0b0001:                  # numeric
             n = r.take(_char_count_bits(1, version))

@@ -69,6 +69,10 @@ def _choose_version(text: str, mode: int, level: str) -> int:
 def _codewords(text: str, mode: int, version: int, level: str) -> np.ndarray:
     cap = data_capacity(version, level)
     bits = _encoded_bits(text, mode, version)
+    if len(bits) > cap * 8:
+        raise ValueError(
+            f"payload needs {len(bits)} bits but version {version} level "
+            f"{level} holds {cap * 8}")
     bits += [0] * min(4, cap * 8 - len(bits))          # terminator
     while len(bits) % 8:
         bits.append(0)

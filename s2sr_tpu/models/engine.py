@@ -201,7 +201,11 @@ class SREngine:
         after first use; the persistent XLA cache covers cold starts)."""
         n = wins.shape[0]
         bs = self.batch_size
-        pending = []
+        pending: list = []
+        outs = []
+        max_inflight = 3   # bound device-resident outputs: overlap
+        #                    compute/readback without letting a big
+        #                    coalesced upload hold every chunk in HBM
         k = 0
         while k < n:
             rem = n - k
@@ -214,8 +218,10 @@ class SREngine:
             # computes while chunk k's result streams back to the host
             pending.append(self._chunk_fn(self.params,
                                           jnp.asarray(wins[k:k + step])))
+            if len(pending) > max_inflight:
+                outs.append(np.asarray(jax.device_get(pending.pop(0))))
             k += step
-        outs = [np.asarray(jax.device_get(o)) for o in pending]
+        outs.extend(np.asarray(jax.device_get(o)) for o in pending)
         return np.concatenate(outs, axis=0)[:n]
 
     def _serving_parts(self, img: np.ndarray):

@@ -272,11 +272,18 @@ def rrdbnet_apply(
         return _conv(f, params["conv_last"], dtype).astype(jnp.float32)
 
     n = feat.shape[0]
-    if up_sub_batch and 0 < up_sub_batch < n and n % up_sub_batch == 0:
-        groups = feat.reshape(n // up_sub_batch, up_sub_batch,
-                              *feat.shape[1:])
+    if up_sub_batch and 0 < up_sub_batch < n:
+        # full groups via lax.map + a (smaller) remainder group, so the
+        # x4-res residency bound holds for ANY batch size — a silent
+        # monolithic fallback on non-divisible n would defeat the bound
+        n_full = (n // up_sub_batch) * up_sub_batch
+        groups = feat[:n_full].reshape(n_full // up_sub_batch,
+                                       up_sub_batch, *feat.shape[1:])
         out = jax.lax.map(upsample, groups)
-        return out.reshape(n, *out.shape[2:])
+        out = out.reshape(n_full, *out.shape[2:])
+        if n_full < n:
+            out = jnp.concatenate([out, upsample(feat[n_full:])], axis=0)
+        return out
     return upsample(feat)
 
 

@@ -526,9 +526,21 @@ def create_app(settings: Optional[Settings] = None,
             def enhance_fn(arr):
                 from ..models.engine import get_engine
 
-                return get_engine("realesrgan_x4").enhance(arr)
+                # same engine-cache key as the job paths (weights_dir
+                # kwarg included), and the bucketed serving path so an
+                # arbitrary photo size reuses warm executables instead
+                # of paying a per-shape compile
+                engine = get_engine("realesrgan_x4",
+                                    weights_dir=settings.weights_dir)
+                return engine.enhance_serving(arr)
 
-        result = decode_with_retry(img, enhance_fn=enhance_fn)
+        # the scan (pure-Python locating, optional OCR, possibly an SR
+        # retry) is CPU/device-heavy — run it off the event loop so job
+        # polling and tile serving stay responsive
+        import asyncio as _asyncio
+
+        result = await _asyncio.to_thread(
+            decode_with_retry, img, enhance_fn=enhance_fn)
         result["filename"] = Path(upload.filename or "").name or "upload"
         return result
 

@@ -101,47 +101,11 @@ def main() -> None:
     fns = {}
     if "xla" in variants:
         fns["xla"] = chain(lambda v: _rdb(v, pb, jnp.bfloat16))
-    if "xp" in variants:
+    if "xp" in variants or "xpp" in variants:
+        # the prefix-layout packed accumulator (the 'xpp' experiment)
+        # was promoted into the library as _rdb_packed — both names now
+        # measure the production formulation
         fns["xp"] = chain(lambda v: _rdb_packed(v, pb, jnp.bfloat16))
-    if "xpp" in variants:
-        # prefix-layout packed accumulator: [a5|a4|a3|a2|a1] so the
-        # shrinking dense add is a lane-0-aligned prefix slice; only the
-        # 32-lane activation read is misaligned.
-        import jax.numpy as jnp2
-
-        def _rdb_packed_prefix(x, p, dtype):
-            g, nf = 32, 64
-
-            def sl(k, lo, hi):
-                return p[f"conv{k}"]["kernel"][:, :, lo:hi, :]
-
-            wx = jnp2.concatenate([sl(k, 0, nf) for k in (5, 4, 3, 2, 1)], -1)
-            w1 = jnp2.concatenate([sl(k, nf, nf + g) for k in (5, 4, 3, 2)], -1)
-            w2 = jnp2.concatenate(
-                [sl(k, nf + g, nf + 2 * g) for k in (5, 4, 3)], -1)
-            w3 = jnp2.concatenate(
-                [sl(k, nf + 2 * g, nf + 3 * g) for k in (5, 4)], -1)
-            w4 = sl(5, nf + 3 * g, nf + 4 * g)
-
-            def b(k):
-                return p[f"conv{k}"]["bias"].astype(dtype)
-
-            from s2sr_tpu.models.rrdbnet import _conv_raw, _lrelu
-
-            acc = _conv_raw(x, wx, dtype)              # [a5|a4|a3|a2|a1]
-            x1 = _lrelu(acc[..., -g:] + b(1))
-            acc = acc[..., :-g] + _conv_raw(x1, w1, dtype)
-            x2 = _lrelu(acc[..., -g:] + b(2))
-            acc = acc[..., :-g] + _conv_raw(x2, w2, dtype)
-            x3 = _lrelu(acc[..., -g:] + b(3))
-            acc = acc[..., :-g] + _conv_raw(x3, w3, dtype)
-            x4 = _lrelu(acc[..., -g:] + b(4))
-            x5 = acc[..., :-g] + _conv_raw(x4, w4, dtype) + b(5)
-            return x5 * jnp2.asarray(0.2, dtype) + x
-
-        got = np.asarray(_rdb_packed_prefix(xs, p, jnp.float32))
-        assert np.abs(got - want).max() == 0.0, "xpp not bit-exact"
-        fns["xpp"] = chain(lambda v: _rdb_packed_prefix(v, pb, jnp.bfloat16))
     if "v1" in variants:
         fns["v1"] = chain(lambda v: rdb_pallas(v, packed1b, b14_1b, b5_1b))
     if "v2" in variants:

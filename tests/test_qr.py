@@ -321,3 +321,30 @@ def test_fuzz_decode_rate(rng):
         if r is not None and r.text == payload:
             ok += 1
     assert ok / N >= 0.90, f"fuzz decode rate {ok}/{N}"
+
+
+def test_encode_explicit_version_overflow_raises():
+    """An explicit too-small version must raise, not silently truncate."""
+    with pytest.raises(ValueError):
+        encode_qr("A" * 60, level="M", version=1)
+
+
+def test_eci_multibyte_designators_skip_cleanly():
+    """2-/3-byte ECI designators (prefix 10/110) must be consumed whole
+    or the rest of the stream misaligns."""
+    from s2sr_tpu.decode.qr_decode import _parse_stream
+
+    def bits_to_bytes(bitstr):
+        bitstr += "0" * (-len(bitstr) % 8)
+        return np.array([int(bitstr[i:i + 8], 2)
+                         for i in range(0, len(bitstr), 8)], np.int32)
+
+    # ECI 2-byte designator (1000000000011010 = ECI 26/UTF-8), then
+    # byte-mode "HI", then terminator
+    payload = "0111" + "1000000000011010" \
+        + "0100" + f"{2:08b}" + f"{ord('H'):08b}" + f"{ord('I'):08b}" + "0000"
+    assert _parse_stream(bits_to_bytes(payload), version=1) == "HI"
+    # 3-byte designator (prefix 110)
+    payload3 = "0111" + "110" + "0" * 21 \
+        + "0100" + f"{1:08b}" + f"{ord('X'):08b}" + "0000"
+    assert _parse_stream(bits_to_bytes(payload3), version=1) == "X"
