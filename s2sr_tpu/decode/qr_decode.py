@@ -177,8 +177,9 @@ class _BitReader:
 
 
 def _char_count_bits(mode: int, version: int) -> int:
-    table = {1: (10, 12), 2: (9, 11), 4: (8, 16), 8: (8, 10)}
-    return table[mode][0 if version <= 9 else 1]
+    table = {1: (10, 12, 14), 2: (9, 11, 13), 4: (8, 16, 16), 8: (8, 10, 12)}
+    tier = 0 if version <= 9 else (1 if version <= 26 else 2)
+    return table[mode][tier]
 
 
 def _parse_stream(data: np.ndarray, version: int) -> str:
@@ -202,20 +203,34 @@ def _parse_stream(data: np.ndarray, version: int) -> str:
         if mode == 0b0001:                  # numeric
             n = r.take(_char_count_bits(1, version))
             while n >= 3:
-                out += f"{r.take(10):03d}".encode()
+                v = r.take(10)
+                if v > 999:
+                    raise ValueError("invalid numeric triple")
+                out += f"{v:03d}".encode()
                 n -= 3
             if n == 2:
-                out += f"{r.take(7):02d}".encode()
+                v = r.take(7)
+                if v > 99:
+                    raise ValueError("invalid numeric pair")
+                out += f"{v:02d}".encode()
             elif n == 1:
-                out += f"{r.take(4):01d}".encode()
+                v = r.take(4)
+                if v > 9:
+                    raise ValueError("invalid numeric digit")
+                out += f"{v:01d}".encode()
         elif mode == 0b0010:                # alphanumeric
             n = r.take(_char_count_bits(2, version))
             while n >= 2:
                 v = r.take(11)
+                if v >= 45 * 45:
+                    raise ValueError("invalid alphanumeric pair")
                 out += (ALNUM[v // 45] + ALNUM[v % 45]).encode()
                 n -= 2
             if n:
-                out += ALNUM[r.take(6)].encode()
+                v = r.take(6)
+                if v >= 45:
+                    raise ValueError("invalid alphanumeric char")
+                out += ALNUM[v].encode()
         elif mode == 0b0100:                # byte
             n = r.take(_char_count_bits(4, version))
             for _ in range(n):

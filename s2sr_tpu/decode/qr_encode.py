@@ -1,4 +1,4 @@
-"""QR encoder (versions 1-10, all EC levels, standard mask selection).
+"""QR encoder (versions 1-40, all EC levels, standard mask selection).
 
 Companion to :mod:`.qr_decode`: generates test vectors, and serves the
 `/api/decode` demo page. Produces a boolean module matrix (True = dark)
@@ -14,7 +14,7 @@ from .galois import rs_encode
 from .qr_decode import ALNUM, _function_mask
 from .qr_tables import (
     ALIGNMENT, EC_BLOCKS, ECL_BITS, FORMAT_WORDS, MAX_VERSION,
-    data_capacity, mask_fn, size_for_version,
+    bch_version, data_capacity, mask_fn, size_for_version,
 )
 
 
@@ -27,7 +27,8 @@ def _pick_mode(text: str) -> int:
 
 
 def _count_bits(mode: int, version: int) -> int:
-    return {1: (10, 12), 2: (9, 11), 4: (8, 16)}[mode][0 if version <= 9 else 1]
+    tier = 0 if version <= 9 else (1 if version <= 26 else 2)
+    return {1: (10, 12, 14), 2: (9, 11, 13), 4: (8, 16, 16)}[mode][tier]
 
 
 def _encoded_bits(text: str, mode: int, version: int) -> list[int]:
@@ -128,6 +129,15 @@ def _place_function_patterns(m: np.ndarray, version: int) -> None:
             m[r - 1:r + 2, c - 1:c + 2] = False
             m[r, c] = True
     m[size - 8, 8] = True                   # dark module
+    if version >= 7:
+        # version information: 18 BCH bits, bit i at (i//3, size-11+i%3)
+        # and its transpose (zxing placement order)
+        word = bch_version(version)
+        for i in range(18):
+            bit = bool((word >> i) & 1)
+            r, c = i // 3, size - 11 + i % 3
+            m[r, c] = bit
+            m[c, r] = bit
 
 
 def _place_format(m: np.ndarray, level: str, mask_id: int) -> None:
@@ -169,39 +179,35 @@ def _place_data(m: np.ndarray, func: np.ndarray, cw: np.ndarray,
         col -= 2
 
 
+def _runs_penalty(rows: np.ndarray) -> int:
+    """N1 for a batch of rows: 3 + (run-5) for every run ≥ 5."""
+    n, size = rows.shape
+    score = 0
+    for row in rows:          # row count is ≤ 2·177; inner work is numpy
+        edges = np.flatnonzero(np.diff(row))
+        lengths = np.diff(np.concatenate([[-1], edges, [size - 1]]))
+        long = lengths[lengths >= 5]
+        score += int((long - 2).sum())      # 3 + (len-5) == len-2
+    return score
+
+
 def _penalty(m: np.ndarray) -> int:
     size = m.shape[0]
     a = m.astype(np.int8)
-    score = 0
-    # N1: runs of ≥5 same-colour modules, both directions
-    for grid in (a, a.T):
-        for row in grid:
-            run = 1
-            for i in range(1, size):
-                if row[i] == row[i - 1]:
-                    run += 1
-                else:
-                    if run >= 5:
-                        score += 3 + run - 5
-                    run = 1
-            if run >= 5:
-                score += 3 + run - 5
+    score = _runs_penalty(a) + _runs_penalty(np.ascontiguousarray(a.T))
     # N2: 2×2 blocks of one colour
     blocks = (a[:-1, :-1] == a[1:, :-1]) & (a[:-1, :-1] == a[:-1, 1:]) \
         & (a[:-1, :-1] == a[1:, 1:])
     score += 3 * int(blocks.sum())
-    # N3: finder-like 1011101 with 4 light on either side
-    pat = np.array([1, 0, 1, 1, 1, 0, 1], np.int8)
-    light4 = np.zeros(4, np.int8)
+    # N3: finder-like 1011101 with 4 light on either side (vectorised
+    # sliding-window match over zero-padded rows, both orientations)
+    pat_l = np.array([0, 0, 0, 0, 1, 0, 1, 1, 1, 0, 1], np.int8)
+    pat_r = pat_l[::-1]
     for grid in (a, a.T):
-        for row in grid:
-            ext = np.concatenate([light4, row, light4])
-            for i in range(len(ext) - 10):
-                w = ext[i:i + 11]
-                if (w[:7] == pat).all() and (w[7:] == 0).all():
-                    score += 40
-                elif (w[4:] == pat).all() and (w[:4] == 0).all():
-                    score += 40
+        ext = np.pad(grid, ((0, 0), (4, 4)))
+        win = np.lib.stride_tricks.sliding_window_view(ext, 11, axis=1)
+        score += 40 * int(((win == pat_l).all(-1)
+                           | (win == pat_r).all(-1)).sum())
     # N4: dark-module proportion
     dark_pct = 100 * a.sum() / a.size
     score += 10 * int(abs(dark_pct - 50) // 5)

@@ -348,3 +348,57 @@ def test_eci_multibyte_designators_skip_cleanly():
     payload3 = "0111" + "110" + "0" * 21 \
         + "0100" + f"{1:08b}" + f"{ord('X'):08b}" + "0000"
     assert _parse_stream(bits_to_bytes(payload3), version=1) == "X"
+
+
+# ---------------------------------------------------------------------------
+# high versions (11-40) — tables derived against the cv2 oracle
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("version", [11, 14, 17, 21, 24, 28, 32, 36, 40])
+@pytest.mark.parametrize("level", ["L", "H"])
+def test_high_version_encode_cv2_decodes(version, level):
+    payload = f"V{version}{level}-" + "A0" * 20
+    det = cv2.QRCodeDetector()
+    ok = False
+    # cv2's decoder is flaky per (mask, scale) at large sizes — any
+    # accepted combination proves the symbol structure is conformant
+    for mask in (None, 0, 1):
+        m = encode_qr(payload, level=level, version=version, mask=mask)
+        assert m.shape == (4 * version + 17,) * 2
+        for scale in (4, 6, 8):
+            try:
+                txt, _, _ = det.detectAndDecode(render(m, scale=scale))
+            except cv2.error:
+                continue
+            if txt == payload:
+                ok = True
+                break
+        if ok:
+            break
+    assert ok, f"cv2 could not decode our v{version}-{level}"
+
+
+@pytest.mark.parametrize("version", [11, 14, 17, 24, 28, 32, 36, 40])
+@pytest.mark.parametrize("level", ["L", "H"])
+def test_high_version_decode_cv2_encoded(version, level):
+    # (v21 excluded: cv2's v21 encoder cannot round-trip its own output
+    # — misplaced alignment pattern — so there is no oracle symbol)
+    payload = f"S2SR{version}{level}" + "7" * 30
+    par = cv2.QRCodeEncoder_Params()
+    par.version = version
+    par.correction_level = CV2_LEVELS[level]
+    img = cv2.QRCodeEncoder.create(par).encode(payload)
+    res = decode_matrix(img[2:-2, 2:-2] == 0)
+    assert res.text == payload
+    assert res.version == version
+    assert res.ec_level == level
+
+
+def test_long_payload_selects_high_version():
+    payload = "x" * 1200                      # byte mode, needs ~v28-L
+    m = encode_qr(payload, level="L")
+    version = (m.shape[0] - 17) // 4
+    assert version > 20
+    res = decode_matrix(m)
+    assert res.text == payload
