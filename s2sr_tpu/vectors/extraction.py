@@ -98,7 +98,8 @@ def compute_ndvi(raster: GeoTiff) -> Optional[np.ndarray]:
     else:
         return None
     denominator = nir + red
-    return np.where(denominator > 0, (nir - red) / denominator, 0).astype(np.float32)
+    safe = np.where(denominator > 0, denominator, 1.0)
+    return np.where(denominator > 0, (nir - red) / safe, 0).astype(np.float32)
 
 
 def compute_green_mask_hsv(raster: GeoTiff, config: ExtractionConfig) -> np.ndarray:

@@ -172,7 +172,8 @@ def _dp(points: np.ndarray, tol: float) -> np.ndarray:
     if norm == 0:
         d = np.hypot(*(points - a).T)
     else:
-        d = np.abs(np.cross(ab, points - a)) / norm
+        ap = points - a
+        d = np.abs(ab[0] * ap[:, 1] - ab[1] * ap[:, 0]) / norm
     i = int(np.argmax(d))
     if d[i] <= tol:
         return np.vstack([a, b])
