@@ -245,10 +245,12 @@ def _parse_stream(data: np.ndarray, version: int) -> str:
                 out += bytes([(sjis >> 8) & 0xFF, sjis & 0xFF])
         else:
             raise ValueError(f"unsupported mode {mode:04b}")
-    try:
-        return out.decode("utf-8")
-    except UnicodeDecodeError:
-        return out.decode("latin-1")
+    for codec in ("utf-8", "shift_jis", "latin-1"):
+        try:
+            return out.decode(codec)
+        except (UnicodeDecodeError, LookupError):
+            continue
+    return out.decode("latin-1", errors="replace")
 
 
 def decode_matrix(modules: np.ndarray) -> QRResult:

@@ -402,3 +402,18 @@ def test_long_payload_selects_high_version():
     assert version > 20
     res = decode_matrix(m)
     assert res.text == payload
+
+
+def test_kanji_mode_decode():
+    """Kanji segments reassemble Shift-JIS bytes (13-bit packed)."""
+    from s2sr_tpu.decode.qr_decode import _parse_stream
+
+    def bits_to_bytes(bitstr):
+        bitstr += "0" * (-len(bitstr) % 8)
+        return np.array([int(bitstr[i:i + 8], 2)
+                         for i in range(0, len(bitstr), 8)], np.int32)
+
+    # "あ" = Shift-JIS 0x82A0 → packed (0x82A0-0x8140)=0x0160 →
+    # 0x01*0xC0+0x60 = 288
+    payload = "1000" + f"{1:08b}" + f"{288:013b}" + "0000"
+    assert _parse_stream(bits_to_bytes(payload), version=1) == "あ"
