@@ -52,7 +52,7 @@ vectors-v2:
 	  -o data/vectors
 
 vectors-ndvi: multiband
-	$(PY) -m s2sr_tpu.cli.vectors_v2 $$(ls data/source/s2_multiband_*.tif | head -1) \
+	$(PY) -m s2sr_tpu.cli.vectors_v2 $$(ls -t data/source/*_multiband.tif | head -1) \
 	  --aoi config/aoi.geojson -o data/vectors --no-roads --no-zones
 
 up:

@@ -185,6 +185,7 @@ def _char_count_bits(mode: int, version: int) -> int:
 def _parse_stream(data: np.ndarray, version: int) -> str:
     r = _BitReader(data)
     out = bytearray()
+    saw_kanji = False
     while r.remaining() >= 4:
         mode = r.take(4)
         if mode == 0:                       # terminator
@@ -236,6 +237,7 @@ def _parse_stream(data: np.ndarray, version: int) -> str:
             for _ in range(n):
                 out.append(r.take(8))
         elif mode == 0b1000:                # kanji — pass raw Shift-JIS
+            saw_kanji = True
             n = r.take(_char_count_bits(8, version))
             for _ in range(n):
                 v = r.take(13)
@@ -245,12 +247,16 @@ def _parse_stream(data: np.ndarray, version: int) -> str:
                 out += bytes([(sjis >> 8) & 0xFF, sjis & 0xFF])
         else:
             raise ValueError(f"unsupported mode {mode:04b}")
-    for codec in ("utf-8", "shift_jis", "latin-1"):
+    # byte mode's spec default charset is ISO-8859-1; only streams that
+    # actually carried kanji segments should try Shift-JIS (a Latin-1
+    # payload's high bytes can be valid SJIS and would misdecode)
+    codecs = ("utf-8", "shift_jis") if saw_kanji else ("utf-8",)
+    for codec in codecs:
         try:
             return out.decode(codec)
-        except (UnicodeDecodeError, LookupError):
+        except UnicodeDecodeError:
             continue
-    return out.decode("latin-1", errors="replace")
+    return out.decode("latin-1")
 
 
 def decode_matrix(modules: np.ndarray) -> QRResult:

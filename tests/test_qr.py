@@ -44,6 +44,13 @@ def cv2_encode(text: str, level: str) -> np.ndarray:
     return img[2:-2, 2:-2] == 0    # strip cv2's quiet zone; dark=True
 
 
+def bits_to_bytes(bitstr):
+    """Pack a '0101...' string into int32 bytes (MSB-first)."""
+    bitstr += "0" * (-len(bitstr) % 8)
+    return np.array([int(bitstr[i:i + 8], 2)
+                     for i in range(0, len(bitstr), 8)], np.int32)
+
+
 # ---------------------------------------------------------------------------
 # tables + Reed-Solomon
 # ---------------------------------------------------------------------------
@@ -334,11 +341,6 @@ def test_eci_multibyte_designators_skip_cleanly():
     or the rest of the stream misaligns."""
     from s2sr_tpu.decode.qr_decode import _parse_stream
 
-    def bits_to_bytes(bitstr):
-        bitstr += "0" * (-len(bitstr) % 8)
-        return np.array([int(bitstr[i:i + 8], 2)
-                         for i in range(0, len(bitstr), 8)], np.int32)
-
     # ECI 2-byte designator (1000000000011010 = ECI 26/UTF-8), then
     # byte-mode "HI", then terminator
     payload = "0111" + "1000000000011010" \
@@ -407,11 +409,6 @@ def test_long_payload_selects_high_version():
 def test_kanji_mode_decode():
     """Kanji segments reassemble Shift-JIS bytes (13-bit packed)."""
     from s2sr_tpu.decode.qr_decode import _parse_stream
-
-    def bits_to_bytes(bitstr):
-        bitstr += "0" * (-len(bitstr) % 8)
-        return np.array([int(bitstr[i:i + 8], 2)
-                         for i in range(0, len(bitstr), 8)], np.int32)
 
     # "あ" = Shift-JIS 0x82A0 → packed (0x82A0-0x8140)=0x0160 →
     # 0x01*0xC0+0x60 = 288
