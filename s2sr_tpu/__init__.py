@@ -26,6 +26,7 @@ Layout:
     tiles/      mercator math, pyramid, PNG, tileset.json (ref tiling.py)
     fetch/      STAC/smart-fetch/UP42/multiband     (ref smart_fetch.py, up42_client.py, fetch_multiband.py)
     vectors/    field polygon extraction v1/v2      (ref vector_extraction*.py)
+    decode/     QR codec v1-40 + serial extraction  (ref client qr-ocr.service.ts)
     pipelines/  wow/farm/standard SR + tiles        (ref wow_sr.py, farm_sr.py, super_resolution.py, esrgan_tiles.py)
     server/     HTTP API + job orchestration        (ref main.py)
     training/   optax train step, sharded over mesh (new capability)
