@@ -107,29 +107,47 @@ def _ratio_ok(runs: list[int], tol: float = 0.55) -> float | None:
     return ms
 
 
-def _scan_rows(b: np.ndarray) -> list[tuple[float, float, float]]:
-    """Row-wise 1:1:3:1:1 candidates → (x, y, module_size)."""
-    h, w = b.shape
-    cands = []
-    for y in range(h):
-        row = b[y]
-        # run-length encode
-        edges = np.flatnonzero(np.diff(row.astype(np.int8)))
-        bounds = np.concatenate([[-1], edges, [w - 1]])
-        lengths = np.diff(bounds)
-        starts = bounds[:-1] + 1
-        vals = row[starts]
-        # need dark,light,dark,light,dark windows
-        for i in range(len(lengths) - 4):
-            if not vals[i]:
-                continue
-            runs = lengths[i:i + 5].tolist()
-            ms = _ratio_ok(runs)
-            if ms is None:
-                continue
-            cx = starts[i] + runs[0] + runs[1] + runs[2] / 2.0
-            cands.append((cx, float(y), ms))
-    return cands
+def _scan_rows(b: np.ndarray, row_step: int = 2
+               ) -> list[tuple[float, float, float]]:
+    """Row-wise 1:1:3:1:1 candidates → (x, y, module_size).
+
+    Fully vectorised: run-length-encodes every scanned row in one pass
+    (transitions of the flattened image with row-boundary sentinels)
+    and ratio-tests all 5-run windows at once. ``row_step=2`` halves
+    the work — a finder's 3-module core spans ≥4 rows at any decodable
+    module size, so every true centre still gets ≥2 supporting rows.
+    """
+    rows = b[::row_step]
+    n, w = rows.shape
+    a = rows.astype(np.int8)
+    # transitions within rows; row starts are implicit run starts
+    flat = a.ravel()
+    change = np.flatnonzero(np.diff(flat)) + 1
+    row_starts = np.arange(1, n) * w
+    starts = np.unique(np.concatenate([[0], change, row_starts]))
+    lengths = np.diff(np.append(starts, n * w))
+    vals = flat[starts]
+    row_of = starts // w
+
+    if len(starts) < 5:
+        return []
+    # windows of 5 consecutive runs, entirely within one row, dark-first
+    L = np.lib.stride_tricks.sliding_window_view(lengths, 5)
+    S = starts[: len(L)]
+    ok = (vals[: len(L)] == 1) & (row_of[: len(L)] == row_of[4: 4 + len(L)])
+    total = L.sum(axis=1)
+    ms = total / 7.0
+    expected = np.array([1, 1, 3, 1, 1])
+    ok &= (np.abs(L - expected * ms[:, None])
+           <= 0.55 * ms[:, None] * expected).all(axis=1)
+    # below ~1.2 px/module nothing decodes (the multi-scale ladder finds
+    # such codes at a finer scale instead); this drops the vast majority
+    # of noise-image false windows
+    ok &= total >= 9
+    idx = np.flatnonzero(ok)
+    cx = (S[idx] % w + L[idx, 0] + L[idx, 1] + L[idx, 2] / 2.0).astype(float)
+    cy = (row_of[idx] * row_step).astype(float)
+    return list(zip(cx.tolist(), cy.tolist(), ms[idx].tolist()))
 
 
 def _cross_check(line: np.ndarray, c0: int, ms_hint: float
@@ -174,6 +192,12 @@ def find_finder_patterns(b: np.ndarray) -> list[tuple[float, float, float]]:
     """Cross-checked, clustered finder centres → [(x, y, module_size)],
     strongest (most supporting scanlines) first."""
     raw = _scan_rows(b)
+    if len(raw) > 8000:
+        # textured/noise images can emit tens of thousands of ratio
+        # coincidences; true finders produce the LARGEST module sizes
+        # with many supporting rows, so keep the biggest-ms slice
+        raw.sort(key=lambda c: -c[2])
+        raw = raw[:8000]
     clusters: list[list[float]] = []   # sum_x, sum_y, sum_ms, weight
     for x, y, ms in raw:
         v = _cross_check(b[:, int(round(x))], int(round(y)), ms)
