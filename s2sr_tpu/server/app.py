@@ -834,7 +834,11 @@ def create_app(settings: Optional[Settings] = None,
             raise HTTPException(404, "Not found")
         if not static_path.is_relative_to(static_root):
             raise HTTPException(404, "Not found")
-        if static_path.exists() and static_path.is_file():
+        try:
+            is_file = static_path.exists() and static_path.is_file()
+        except OSError:          # e.g. ENAMETOOLONG from a hostile path
+            raise HTTPException(404, "Not found")
+        if is_file:
             return file_response(static_path)
         index_path = static_dir / "index.html"
         if index_path.exists():

@@ -256,7 +256,24 @@ async def _handle_connection(app: App, reader: asyncio.StreamReader,
                     break
                 key, _, value = line.decode("latin1").partition(":")
                 headers[key.strip().lower()] = value.strip()
-            length = int(headers.get("content-length", 0))
+            if "chunked" in headers.get("transfer-encoding", "").lower():
+                # chunked bodies are not implemented — refuse loudly
+                # instead of silently treating the body as empty
+                writer.write(
+                    b"HTTP/1.1 501 Not Implemented\r\n"
+                    b"Content-Length: 0\r\nConnection: close\r\n\r\n")
+                await writer.drain()
+                break
+            try:
+                length = int(headers.get("content-length", 0))
+            except ValueError:
+                writer.write(
+                    b"HTTP/1.1 400 Bad Request\r\n"
+                    b"Content-Length: 0\r\nConnection: close\r\n\r\n")
+                await writer.drain()
+                break
+            if length < 0:
+                length = 0
             if length > 256 * 1024 * 1024:  # hard transport cap (routes
                 # apply their own tighter limits, e.g. the 50 MB upload)
                 writer.write(

@@ -427,3 +427,47 @@ def test_api_decode_rejects_non_image(app):
     resp, _ = asyncio.run(call(
         app, "POST", "/api/decode", body=body, headers=headers))
     assert resp.status_code == 400
+
+
+def test_transport_hostile_requests():
+    """Raw-socket fuzz (r2): hostile requests must get clean 4xx/5xx
+    responses — never a 500 from an OS error or a silently-dropped
+    body — and the server must stay alive."""
+    import socket
+    import threading
+
+    from s2sr_tpu.server.http import serve
+
+    settings = Settings(data_dir="/tmp/s2sr_fuzz_data", offline=True)
+    app = create_app(settings)
+    port = 18999
+    loop = asyncio.new_event_loop()
+
+    def runner():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(serve(app, host="127.0.0.1", port=port))
+
+    t = threading.Thread(target=runner, daemon=True)
+    t.start()
+    time.sleep(1.0)
+
+    def raw(req: bytes) -> bytes:
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        s.sendall(req)
+        try:
+            data = s.recv(4096)
+        except socket.timeout:
+            data = b""
+        s.close()
+        return data.split(b"\r\n")[0]
+
+    long_path = b"GET /" + b"a" * 50000 + b" HTTP/1.1\r\n\r\n"
+    assert raw(long_path) == b"HTTP/1.1 404 Not Found"
+    chunked = (b"POST /api/sr HTTP/1.1\r\n"
+               b"Transfer-Encoding: chunked\r\n\r\n5\r\nhello\r\n0\r\n\r\n")
+    assert raw(chunked) == b"HTTP/1.1 501 Not Implemented"
+    bad_len = b"POST /api/sr HTTP/1.1\r\nContent-Length: abc\r\n\r\n"
+    assert raw(bad_len) == b"HTTP/1.1 400 Bad Request"
+    # still alive
+    assert raw(b"GET /health HTTP/1.1\r\n\r\n") == b"HTTP/1.1 200 OK"
+    loop.call_soon_threadsafe(loop.stop)
