@@ -134,3 +134,16 @@ class TestFullChain:
         # bit-exact. 42+ dB ≈ visually identical.
         assert psnr(got, want) > 42.0
         assert max_diff(got, want) <= 20
+
+
+def test_hsv_division_tables_arithmetic_equivalence():
+    """The in-kernel round-half-up divisions must equal cv2's
+    np.round-built sdiv/hdiv tables for every possible operand."""
+    shift = 12
+    i = np.arange(1, 256, dtype=np.int64)
+    sdiv_table = np.round((255 << shift) / i).astype(np.int64)
+    hdiv_table = np.round((180 << shift) / (6.0 * i)).astype(np.int64)
+    sdiv_up = (2 * (255 << shift) + i) // (2 * i)
+    hdiv_up = (2 * (180 << shift) + 6 * i) // (12 * i)
+    np.testing.assert_array_equal(sdiv_table, sdiv_up)
+    np.testing.assert_array_equal(hdiv_table, hdiv_up)
