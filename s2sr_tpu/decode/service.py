@@ -93,8 +93,17 @@ def decode_with_retry(image: np.ndarray, *, enhance_fn: EnhanceFn | None = None,
         return {"qr": qr, "ocr": ocr, "serial": serial}
 
     first = scan(image, "original")
-    confidence = 100.0 if first["qr"] else first["ocr"]["confidence"]
-    retry = should_retry_with_enhancement(confidence, first["serial"])
+    # A successful QR read returns immediately — the reference client
+    # never retries after jsQR succeeds (enhance.component.ts:279-288);
+    # the short-serial retry rule applies to OCR-sourced reads only.
+    retry = first["qr"] is None and should_retry_with_enhancement(
+        first["ocr"]["confidence"], first["serial"])
+    # Bound the enhance retry: x4 SR then re-scanning a huge photo can
+    # transiently need multi-GB buffers on the 1-core box; plate photos
+    # are small. Beyond 4 MPix keep the first-pass answer.
+    if retry and image.shape[0] * image.shape[1] > 4_000_000:
+        logger.info("decode: skipping SR retry (image > 4 MPix)")
+        retry = False
 
     best = first
     enhanced = False

@@ -111,7 +111,7 @@ def _rdb(x: jnp.ndarray, p: Params, dtype) -> jnp.ndarray:
     return x5 * jnp.asarray(0.2, dtype) + x
 
 
-def _rdb_packed(x: jnp.ndarray, p: Params, dtype) -> jnp.ndarray:
+def _rdb_packed(x: jnp.ndarray, p: Params, dtype, mask=None) -> jnp.ndarray:
     """Delta RDB with an eagerly-accumulated, prefix-shrinking buffer.
 
     Same per-source wide convs as :func:`_rdb`, but instead of keeping
@@ -142,24 +142,32 @@ def _rdb_packed(x: jnp.ndarray, p: Params, dtype) -> jnp.ndarray:
     def b(k):
         return p[f"conv{k}"]["bias"].astype(dtype)
 
+    def m(t):
+        # Exact-padding mask (see rrdbnet_apply): every conv input must
+        # be zero outside the true image rectangle so the bucket border
+        # behaves as the model's own zero-pad SAME border. Zeros add
+        # exactly in fp — masked bucketed output is bit-identical to the
+        # unpadded forward on the true rectangle.
+        return t if mask is None else t * mask
+
     acc = _conv_raw(x, wx, dtype)                       # [a5|a4|a3|a2|a1] 192
-    x1 = _lrelu(acc[..., -g:] + b(1))
+    x1 = m(_lrelu(acc[..., -g:] + b(1)))
     acc = acc[..., :-g] + _conv_raw(x1, w1, dtype)      # [a5|a4|a3|a2] 160
-    x2 = _lrelu(acc[..., -g:] + b(2))
+    x2 = m(_lrelu(acc[..., -g:] + b(2)))
     acc = acc[..., :-g] + _conv_raw(x2, w2, dtype)      # [a5|a4|a3] 128
-    x3 = _lrelu(acc[..., -g:] + b(3))
+    x3 = m(_lrelu(acc[..., -g:] + b(3)))
     acc = acc[..., :-g] + _conv_raw(x3, w3, dtype)      # [a5|a4] 96
-    x4 = _lrelu(acc[..., -g:] + b(4))
+    x4 = m(_lrelu(acc[..., -g:] + b(4)))
     x5 = acc[..., :-g] + _conv_raw(x4, w4, dtype) + b(5)
-    return x5 * jnp.asarray(0.2, dtype) + x
+    return m(x5 * jnp.asarray(0.2, dtype) + x)
 
 
-def _rrdb(x: jnp.ndarray, p: Params, dtype) -> jnp.ndarray:
+def _rrdb(x: jnp.ndarray, p: Params, dtype, mask=None) -> jnp.ndarray:
     # packed-accumulator RDB: bit-identical to _rdb, +22% on v5e
     # (35.8 → 43.7 TF/s on the 16×276² 12-RDB chain — BENCH_NOTES r2)
-    out = _rdb_packed(x, p["rdb1"], dtype)
-    out = _rdb_packed(out, p["rdb2"], dtype)
-    out = _rdb_packed(out, p["rdb3"], dtype)
+    out = _rdb_packed(x, p["rdb1"], dtype, mask)
+    out = _rdb_packed(out, p["rdb2"], dtype, mask)
+    out = _rdb_packed(out, p["rdb3"], dtype, mask)
     return out * jnp.asarray(0.2, dtype) + x
 
 
@@ -225,6 +233,7 @@ def rrdbnet_apply(
     dtype: jnp.dtype = jnp.bfloat16,
     use_pallas: bool = False,
     up_sub_batch: int | None = None,
+    mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Forward pass. ``x``: (N, H, W, 3) float in [0, 1] → (N, sH, sW, 3).
 
@@ -239,8 +248,28 @@ def rrdbnet_apply(
     while the ×4-resolution activations (the HBM peak: batch 32 of
     276² windows needs ~19.6 GB monolithic) only ever exist for one
     sub-group. Identical math and output order.
+
+    ``mask`` (broadcastable to (N, H, W, 1), values 0/1) makes a
+    zero-padded bucket shape compute the *exact* unpadded forward on
+    the true rectangle: every conv input is re-zeroed outside the
+    rectangle, so each of the ~345 SAME convs sees the same zeros it
+    would see from its own padding at the true border (the serving
+    engine's fixed-bucket executables become exact for every upload
+    size — reference computes small images untiled/exactly,
+    ``cnn_super_resolution.py:226``). Adding exact zeros is exact in
+    floating point, so the masked result is bit-identical to the
+    unpadded forward. Not supported together with ``use_pallas``.
     """
-    feat = _conv(x, params["conv_first"], dtype)
+    if mask is not None and use_pallas:
+        raise NotImplementedError("mask + use_pallas not supported")
+    if mask is not None:
+        # cast once: a float32 mask would upcast every bf16 product
+        mask = mask.astype(dtype)
+
+    def m(t):
+        return t if mask is None else t * mask
+
+    feat = m(_conv(x, params["conv_first"], dtype))
 
     if use_pallas:
         # v2 is the best-measured Pallas RDB (34.7 TF/s @ tile 144 vs
@@ -258,17 +287,32 @@ def rrdbnet_apply(
             return out * jnp.asarray(0.2, dtype) + carry, None
     else:
         def block(carry, block_params):
-            return _rrdb(carry, block_params, dtype), None
+            return _rrdb(carry, block_params, dtype, mask), None
 
     body_feat, _ = jax.lax.scan(block, feat, params["body"])
     body_feat = _conv(body_feat, params["conv_body"], dtype)
-    feat = feat + body_feat
+    feat = m(feat + body_feat)
 
-    def upsample(f: jnp.ndarray) -> jnp.ndarray:
+    if mask is None:
+        m2 = m4 = None
+    else:
+        mb = jnp.broadcast_to(mask.astype(dtype),
+                              (feat.shape[0], *mask.shape[-3:-1], 1))
+        m2 = _nearest_x2(mb)
+        m4 = _nearest_x2(m2)
+
+    def upsample(f: jnp.ndarray, mm2=None, mm4=None) -> jnp.ndarray:
+        mtop = mm4 if scale == 4 else mm2   # mask at the final resolution
         f = _lrelu(_up_conv_fused(f, params["conv_up1"], dtype))
+        if mm2 is not None:
+            f = f * mm2
         if scale == 4:
             f = _lrelu(_up_conv_fused(f, params["conv_up2"], dtype))
+            if mm4 is not None:
+                f = f * mm4
         f = _lrelu(_conv(f, params["conv_hr"], dtype))
+        if mtop is not None:
+            f = f * mtop
         return _conv(f, params["conv_last"], dtype).astype(jnp.float32)
 
     n = feat.shape[0]
@@ -277,14 +321,23 @@ def rrdbnet_apply(
         # x4-res residency bound holds for ANY batch size — a silent
         # monolithic fallback on non-divisible n would defeat the bound
         n_full = (n // up_sub_batch) * up_sub_batch
-        groups = feat[:n_full].reshape(n_full // up_sub_batch,
-                                       up_sub_batch, *feat.shape[1:])
-        out = jax.lax.map(upsample, groups)
+
+        def regroup(t):
+            return t[:n_full].reshape(n_full // up_sub_batch, up_sub_batch,
+                                      *t.shape[1:])
+
+        if mask is None:
+            out = jax.lax.map(upsample, regroup(feat))
+        else:
+            out = jax.lax.map(lambda fm: upsample(*fm),
+                              (regroup(feat), regroup(m2), regroup(m4)))
         out = out.reshape(n_full, *out.shape[2:])
         if n_full < n:
-            out = jnp.concatenate([out, upsample(feat[n_full:])], axis=0)
+            tail = (upsample(feat[n_full:]) if mask is None else
+                    upsample(feat[n_full:], m2[n_full:], m4[n_full:]))
+            out = jnp.concatenate([out, tail], axis=0)
         return out
-    return upsample(feat)
+    return upsample(feat, m2, m4)
 
 
 class RRDBNet:

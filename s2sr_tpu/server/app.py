@@ -122,6 +122,7 @@ def create_app(settings: Optional[Settings] = None,
     app.jobs = jobs          # exposed for tests / introspection
     app.runner = runner
     app.settings = settings
+    app.on_shutdown(runner.stop)   # mark queued jobs, drain workers
 
     # ------------------------------------------------------------------
     # basics (main.py:73-155)

@@ -177,6 +177,14 @@ class App:
         self.title = title
         self.version = version
         self.routes: List[Route] = []
+        self.shutdown_hooks: List[Callable[[], Any]] = []
+
+    def on_shutdown(self, fn: Callable[[], Any]) -> Callable[[], Any]:
+        """Register a callback to run when :func:`serve` exits (uvicorn
+        lifespan-shutdown equivalent — the reference relies on process
+        death; here in-flight jobs get marked and the runner drains)."""
+        self.shutdown_hooks.append(fn)
+        return fn
 
     def _register(self, method: str, path: str):
         def deco(fn):
@@ -328,12 +336,52 @@ async def _handle_connection(app: App, reader: asyncio.StreamReader,
             pass
 
 
-async def serve(app: App, host: str = "0.0.0.0", port: int = 8080) -> None:
-    server = await asyncio.start_server(
-        lambda r, w: _handle_connection(app, r, w), host, port)
+async def serve(app: App, host: str = "0.0.0.0", port: int = 8080,
+                stop: Optional[asyncio.Event] = None,
+                ready: Optional[asyncio.Event] = None) -> None:
+    """Run the server until cancelled or ``stop`` is set — then shut
+    down *cleanly*: stop accepting, close idle/active connections, and
+    run the app's shutdown hooks (which mark in-flight jobs). Safe to
+    cancel at any point; never leaves the listening socket open.
+    """
+    conn_tasks: set[asyncio.Task] = set()
+
+    def handler(r: asyncio.StreamReader, w: asyncio.StreamWriter):
+        task = asyncio.current_task()
+        if task is not None:
+            conn_tasks.add(task)
+            task.add_done_callback(conn_tasks.discard)
+        return _handle_connection(app, r, w)
+
+    server = await asyncio.start_server(handler, host, port)
     logger.info("Serving %s on %s:%d", app.title, host, port)
-    async with server:
-        await server.serve_forever()
+    if ready is not None:
+        ready.set()
+    try:
+        if stop is None:
+            async with server:
+                await server.serve_forever()
+        else:
+            async with server:
+                await stop.wait()
+    finally:
+        server.close()
+        for t in list(conn_tasks):
+            t.cancel()
+        if conn_tasks:
+            await asyncio.gather(*conn_tasks, return_exceptions=True)
+        try:
+            await server.wait_closed()
+        except Exception:  # pragma: no cover - platform quirks
+            pass
+        for hook in app.shutdown_hooks:
+            try:
+                result = hook()
+                if inspect.isawaitable(result):
+                    await result
+            except Exception as exc:  # noqa: BLE001 — best-effort teardown
+                logger.error("shutdown hook failed: %s", exc)
+        logger.info("Server %s stopped cleanly", app.title)
 
 
 def run(app: App, host: str = "0.0.0.0", port: int = 8080) -> None:

@@ -93,6 +93,7 @@ class JobRunner:
         self._deque: "deque[_Item]" = deque()
         self._unfinished = 0
         self._active: set[str] = set()
+        self._stopping = False
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
         self._workers = [
@@ -116,8 +117,10 @@ class JobRunner:
     def _worker(self) -> None:
         while True:
             with self._cond:
-                while not self._deque:
+                while not self._deque and not self._stopping:
                     self._cond.wait()
+                if self._stopping and not self._deque:
+                    return
                 items = self._take_batch()
                 for it in items:
                     self._active.add(it.job_id)
@@ -161,10 +164,33 @@ class JobRunner:
                payload: Any = None,
                many_fn: Optional[Callable[[list], None]] = None) -> None:
         with self._cond:
+            if self._stopping:
+                raise RuntimeError("job runner is shutting down")
             self._deque.append(_Item(job_id, fn, coalesce_key, payload,
                                      many_fn))
             self._unfinished += 1
             self._cond.notify()
+
+    def stop(self, message: str = "Server shut down before job ran",
+             timeout: float = 5.0) -> None:
+        """Graceful shutdown: refuse new submissions, mark still-queued
+        jobs failed (durable — clients polling after restart see it),
+        and give running jobs ``timeout`` seconds to finish. A job that
+        outlives the timeout is left to the durable journal's
+        failed-on-restart replay (:mod:`.persistence`), matching a hard
+        crash."""
+        with self._cond:
+            if self._stopping:
+                return
+            self._stopping = True
+            drained = list(self._deque)
+            self._deque.clear()
+            self._unfinished -= len(drained)
+            self._cond.notify_all()
+        for it in drained:
+            self.store.update(it.job_id, status="failed", message=message)
+        for w in self._workers:
+            w.join(timeout=timeout)
 
     def join(self, timeout: Optional[float] = None) -> None:
         """Testing helper: wait until the queue drains."""

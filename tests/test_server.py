@@ -213,25 +213,66 @@ def test_spa_fallback(app):
         assert "endpoints" in payload
 
 
+class live_server:
+    """Context-managed real server on a background loop thread; exits
+    through serve()'s graceful-shutdown path (stop event → connections
+    closed → shutdown hooks → loop closed → thread joined), so tests
+    leak neither sockets nor 'Task was destroyed' warnings."""
+
+    def __init__(self, app, port: int):
+        self.app, self.port = app, port
+
+    def __enter__(self):
+        import threading
+
+        from s2sr_tpu.server.http import serve
+
+        self.loop = asyncio.new_event_loop()
+        started = __import__("threading").Event()
+
+        async def main():
+            self.stop = asyncio.Event()
+            ready = asyncio.Event()
+            task = asyncio.ensure_future(
+                serve(self.app, host="127.0.0.1", port=self.port,
+                      stop=self.stop, ready=ready))
+            await ready.wait()
+            started.set()
+            await task
+
+        def runner():
+            asyncio.set_event_loop(self.loop)
+            try:
+                self.loop.run_until_complete(main())
+            finally:
+                self.loop.close()
+
+        self.thread = threading.Thread(target=runner, daemon=True)
+        self.thread.start()
+        assert started.wait(10), "server did not start"
+        return self
+
+    def __exit__(self, *exc):
+        self.loop.call_soon_threadsafe(self.stop.set)
+        self.thread.join(timeout=10)
+        assert not self.thread.is_alive(), "server did not shut down"
+        assert self.loop.is_closed()
+
+
 def test_live_socket_server(app):
-    """One real TCP round-trip through the asyncio server."""
-    import threading
+    """One real TCP round-trip through the asyncio server, with a clean
+    cancellation-driven shutdown (VERDICT r2 weak #7)."""
     import urllib.request
 
-    from s2sr_tpu.server.http import serve
+    with live_server(app, 18099):
+        with urllib.request.urlopen("http://127.0.0.1:18099/health",
+                                    timeout=5) as r:
+            assert json.loads(r.read())["status"] == "healthy"
+    # graceful exit ran the shutdown hooks: the runner refuses new work
+    import pytest as _pytest
 
-    loop = asyncio.new_event_loop()
-
-    def runner():
-        asyncio.set_event_loop(loop)
-        loop.run_until_complete(serve(app, host="127.0.0.1", port=18099))
-
-    t = threading.Thread(target=runner, daemon=True)
-    t.start()
-    time.sleep(0.5)
-    with urllib.request.urlopen("http://127.0.0.1:18099/health", timeout=5) as r:
-        assert json.loads(r.read())["status"] == "healthy"
-    loop.call_soon_threadsafe(loop.stop)
+    with _pytest.raises(RuntimeError):
+        app.runner.submit("post-shutdown", lambda: None)
 
 
 def test_runtime_metrics(app):
@@ -441,15 +482,6 @@ def test_transport_hostile_requests():
     settings = Settings(data_dir="/tmp/s2sr_fuzz_data", offline=True)
     app = create_app(settings)
     port = 18999
-    loop = asyncio.new_event_loop()
-
-    def runner():
-        asyncio.set_event_loop(loop)
-        loop.run_until_complete(serve(app, host="127.0.0.1", port=port))
-
-    t = threading.Thread(target=runner, daemon=True)
-    t.start()
-    time.sleep(1.0)
 
     def raw(req: bytes) -> bytes:
         s = socket.create_connection(("127.0.0.1", port), timeout=10)
@@ -461,13 +493,38 @@ def test_transport_hostile_requests():
         s.close()
         return data.split(b"\r\n")[0]
 
-    long_path = b"GET /" + b"a" * 50000 + b" HTTP/1.1\r\n\r\n"
-    assert raw(long_path) == b"HTTP/1.1 404 Not Found"
-    chunked = (b"POST /api/sr HTTP/1.1\r\n"
-               b"Transfer-Encoding: chunked\r\n\r\n5\r\nhello\r\n0\r\n\r\n")
-    assert raw(chunked) == b"HTTP/1.1 501 Not Implemented"
-    bad_len = b"POST /api/sr HTTP/1.1\r\nContent-Length: abc\r\n\r\n"
-    assert raw(bad_len) == b"HTTP/1.1 400 Bad Request"
-    # still alive
-    assert raw(b"GET /health HTTP/1.1\r\n\r\n") == b"HTTP/1.1 200 OK"
-    loop.call_soon_threadsafe(loop.stop)
+    with live_server(app, port):
+        long_path = b"GET /" + b"a" * 50000 + b" HTTP/1.1\r\n\r\n"
+        assert raw(long_path) == b"HTTP/1.1 404 Not Found"
+        chunked = (b"POST /api/sr HTTP/1.1\r\n"
+                   b"Transfer-Encoding: chunked\r\n\r\n5\r\nhello\r\n0\r\n\r\n")
+        assert raw(chunked) == b"HTTP/1.1 501 Not Implemented"
+        bad_len = b"POST /api/sr HTTP/1.1\r\nContent-Length: abc\r\n\r\n"
+        assert raw(bad_len) == b"HTTP/1.1 400 Bad Request"
+        # still alive
+        assert raw(b"GET /health HTTP/1.1\r\n\r\n") == b"HTTP/1.1 200 OK"
+
+
+def test_shutdown_marks_queued_jobs_failed(tmp_path):
+    """VERDICT r2 #8: shutdown flushes in-flight state — queued jobs are
+    durably marked failed instead of silently vanishing."""
+    import threading
+
+    from s2sr_tpu.server.jobs import JobRunner, JobStore
+
+    store = JobStore()
+    runner = JobRunner(store, max_concurrent=1)
+    gate = threading.Event()
+    store.create("j-running", status="processing")
+    store.create("j-queued", status="queued")
+    runner.submit("j-running", lambda: gate.wait(5))
+    runner.submit("j-queued", lambda: store.update("j-queued", status="completed"))
+    time.sleep(0.1)          # let the worker pick up j-running
+    gate_release = threading.Timer(0.3, gate.set)
+    gate_release.start()
+    runner.stop(timeout=5)
+    gate_release.join()
+    assert store.get("j-queued")["status"] == "failed"
+    assert "shut down" in store.get("j-queued")["message"]
+    with pytest.raises(RuntimeError):
+        runner.submit("late", lambda: None)
