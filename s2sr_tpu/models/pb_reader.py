@@ -108,6 +108,61 @@ def _parse_tensor(buf: bytes) -> Optional[np.ndarray]:
     return arr.astype(dtype)
 
 
+def _parse_attr_value(buf: bytes):
+    """AttrValue → python value (s/i/f/b/type/tensor/list-of-i)."""
+    for field, wire, value in _walk(buf):
+        if field == 2 and wire == 2:                   # s
+            return value.decode("utf-8", "replace")
+        if field == 3 and wire == 0:                   # i
+            return value
+        if field == 4 and wire == 5:                   # f
+            return struct.unpack("<f", value)[0]
+        if field == 5 and wire == 0:                   # b
+            return bool(value)
+        if field == 6 and wire == 0:                   # type
+            return ("dtype", value)
+        if field == 8 and wire == 2:                   # tensor
+            return _parse_tensor(value)
+        if field == 1 and wire == 2:                   # list
+            ints = [v for f2, w2, v in _walk(value) if f2 == 3 and w2 == 0]
+            return ints
+    return None
+
+
+def read_graphdef_nodes(path: Path | str) -> List[dict]:
+    """Full NodeDef parse: ``[{name, op, inputs, attrs}, …]`` in graph
+    order. ``attrs`` values are decoded AttrValues (str/int/float/bool/
+    ndarray/list-of-int). Control inputs (``^name``) are dropped; tensor
+    output suffixes (``name:0``) are stripped."""
+    buf = Path(path).read_bytes()
+    nodes: List[dict] = []
+    for field, wire, node_buf in _walk(buf):
+        if field != 1 or wire != 2:
+            continue
+        node = {"name": None, "op": None, "inputs": [], "attrs": {}}
+        for f, w, v in _walk(node_buf):
+            if f == 1 and w == 2:
+                node["name"] = v.decode("utf-8", "replace")
+            elif f == 2 and w == 2:
+                node["op"] = v.decode("utf-8", "replace")
+            elif f == 3 and w == 2:
+                inp = v.decode("utf-8", "replace")
+                if not inp.startswith("^"):
+                    node["inputs"].append(inp.split(":")[0])
+            elif f == 5 and w == 2:                    # attr map entry
+                key = attr_buf = None
+                for f2, w2, v2 in _walk(v):
+                    if f2 == 1 and w2 == 2:
+                        key = v2.decode("utf-8", "replace")
+                    elif f2 == 2 and w2 == 2:
+                        attr_buf = v2
+                if key is not None and attr_buf is not None:
+                    node["attrs"][key] = _parse_attr_value(attr_buf)
+        if node["name"] and node["op"]:
+            nodes.append(node)
+    return nodes
+
+
 def read_graphdef_constants(path: Path | str) -> Dict[str, np.ndarray]:
     """name → tensor for every Const node in a frozen GraphDef."""
     buf = Path(path).read_bytes()
@@ -137,6 +192,61 @@ def read_graphdef_constants(path: Path | str) -> Dict[str, np.ndarray]:
         if op == "Const" and name and tensor is not None:
             constants[name] = tensor
     return constants
+
+
+def wire_ordered_convs(path: Path | str):
+    """(name, kernel, bias) per Conv2D/Conv2DBackpropInput node, paired
+    by ACTUAL graph edges: the kernel is the Const feeding the conv's
+    filter input (through Identity), the bias is the Const of the
+    BiasAdd/Add consuming the conv. Immune to Const-ordering quirks
+    that can mis-pair the order+shape heuristic (e.g. bias-less
+    transposed convs in multi-level LapSRN graphs). Returns None when
+    the file carries no op wiring (const-only test graphs)."""
+    nodes = read_graphdef_nodes(path)
+    by_name = {n["name"]: n for n in nodes}
+    consts = {n["name"]: n["attrs"].get("value") for n in nodes
+              if n["op"] == "Const"}
+
+    def resolve_const(name):
+        seen = set()
+        while name in by_name and name not in seen:
+            seen.add(name)
+            node = by_name[name]
+            if node["op"] == "Const":
+                return consts.get(name)
+            if node["op"] in ("Identity", "StopGradient") and node["inputs"]:
+                name = node["inputs"][0]
+                continue
+            break
+        return None
+
+    conv_ops = ("Conv2D", "Conv2DBackpropInput")
+    convs = []
+    consumers: Dict[str, list] = {}
+    for n in nodes:
+        for i in n["inputs"]:
+            consumers.setdefault(i, []).append(n)
+    found_ops = False
+    for n in nodes:
+        if n["op"] not in conv_ops:
+            continue
+        found_ops = True
+        filt_idx = 1
+        kernel = resolve_const(n["inputs"][filt_idx])
+        if kernel is None or getattr(kernel, "ndim", 0) != 4:
+            continue
+        bias = None
+        for c in consumers.get(n["name"], []):
+            if c["op"] in ("BiasAdd", "Add", "AddV2"):
+                for ci in c["inputs"]:
+                    if ci != n["name"]:
+                        b = resolve_const(ci)
+                        if b is not None and getattr(b, "ndim", 0) == 1:
+                            bias = b
+                break
+        convs.append((n["name"], np.asarray(kernel),
+                      None if bias is None else np.asarray(bias)))
+    return convs if found_ops else None
 
 
 def _ordered_convs(constants: Dict[str, np.ndarray]):
@@ -191,7 +301,8 @@ def convert_edsr_pb(path: Path | str, scale: int) -> tuple:
     import jax.numpy as jnp
 
     constants = read_graphdef_constants(path)
-    convs = _ordered_convs(constants)
+    wired = wire_ordered_convs(path)
+    convs = wired if wired is not None else _ordered_convs(constants)
     if not convs:
         raise ValueError(f"no conv kernels in {path}")
 
@@ -227,12 +338,28 @@ def convert_edsr_pb(path: Path | str, scale: int) -> tuple:
         "tail": _jconv(tail[-1][1], tail[-1][2]),
     }
     config = {"channels": feat, "blocks": blocks}
-    # a stray (3,) const that is not a conv bias is the input mean shift
-    bias_arrays = {id(b) for _, _, b in convs if b is not None}
-    for name, t in constants.items():
-        if t.ndim == 1 and t.shape[0] == 3 and id(t) not in bias_arrays:
-            config["mean"] = np.asarray(t, np.float32)
-            break
+    if wired is not None:
+        # wire-accurate: the mean is the (3,) const feeding a Sub/Add
+        # node directly (not through BiasAdd)
+        nodes = read_graphdef_nodes(path)
+        cvals = {n["name"]: n["attrs"].get("value") for n in nodes
+                 if n["op"] == "Const"}
+        for n in nodes:
+            if n["op"] in ("Sub", "Add", "AddV2"):
+                for i in n["inputs"]:
+                    t = cvals.get(i)
+                    if t is not None and t.ndim == 1 and t.shape[0] == 3:
+                        config["mean"] = np.asarray(t, np.float32)
+                        break
+                if "mean" in config:
+                    break
+    else:
+        # const-only fallback: a stray (3,) const that is not a conv bias
+        bias_arrays = {id(b) for _, _, b in convs if b is not None}
+        for name, t in constants.items():
+            if t.ndim == 1 and t.shape[0] == 3 and id(t) not in bias_arrays:
+                config["mean"] = np.asarray(t, np.float32)
+                break
     return params, config
 
 
@@ -240,20 +367,26 @@ def convert_lapsrn_pb(path: Path | str, scale: int) -> dict:
     """Frozen LapSRN .pb (fannymonori/TF-LAPSRN graphs, ref
     ``super_resolution.py:44-58``) → our param tree.
 
-    Structure: head (3,3,3,F); per ×2 level, embedding convs (3,3,F,F),
-    a feature transposed-conv (4,4,·,·) with F channels, a residual conv
-    (3,3,F,3) and an image transposed-conv (4,4,3,3). TF stores
-    transposed-conv kernels as (kh, kw, out, in) — transposed here to
-    our (kh, kw, in, out). Levels with shared weights (the paper's
-    parameter sharing, possible in x8 graphs) are replicated.
+    Structure: head (3,3,C,F) with C ∈ {1 (released luma graphs), 3};
+    per ×2 level, embedding convs (3,3,F,F), a feature transposed-conv
+    (4,4,F,F), a residual conv (3,3,F,C) and an image transposed-conv
+    (4,4,C,C). Transposed-conv kernels are kept RAW — TF's
+    ``Conv2DBackpropInput`` filter layout, which
+    :func:`s2sr_tpu.models.classic._transposed_conv_x2` consumes via
+    ``transpose_kernel=True`` (executor-validated). Levels with shared
+    weights (the paper's parameter sharing, possible in x8 graphs) are
+    replicated.
     """
     constants = read_graphdef_constants(path)
-    convs = _ordered_convs(constants)
+    wired = wire_ordered_convs(path)
+    convs = wired if wired is not None else _ordered_convs(constants)
     head = next(((n, t, b) for n, t, b in convs
-                 if t.shape[:3] == (3, 3, 3) and t.shape[3] > 3), None)
+                 if t.shape[:2] == (3, 3) and t.shape[2] in (1, 3)
+                 and t.shape[3] > 3), None)
     if head is None:
         raise ValueError(f"no head conv in {path}: {_shape_audit(convs)}")
     feat = head[1].shape[3]
+    nch = head[1].shape[2]
     import math as _math
 
     import jax.numpy as jnp
@@ -267,11 +400,11 @@ def convert_lapsrn_pb(path: Path | str, scale: int) -> dict:
         if kh == 3 and t.shape[2] == feat and t.shape[3] == feat:
             cur["embed"].append(_jconv(t, b))
         elif t.shape[2] == feat and t.shape[3] == feat and kh >= 4:
-            cur["up_feat"] = jnp.asarray(np.transpose(t, (0, 1, 3, 2)))
-        elif kh == 3 and t.shape[2] == feat and t.shape[3] == 3:
+            cur["up_feat"] = jnp.asarray(t)
+        elif kh == 3 and t.shape[2] == feat and t.shape[3] == nch:
             cur["res"] = _jconv(t, b)
-        elif t.shape[2] == 3 and t.shape[3] == 3 and kh >= 4:
-            cur["up_img"] = jnp.asarray(np.transpose(t, (0, 1, 3, 2)))
+        elif t.shape[2] == nch and t.shape[3] == nch and kh >= 4:
+            cur["up_img"] = jnp.asarray(t)
             groups.append(cur)
             cur = {"embed": [], "up_feat": None, "res": None,
                    "up_img": None}
@@ -289,7 +422,8 @@ def convert_espcn_pb(path: Path | str, scale: int) -> dict:
     """Frozen ESPCN .pb → our param tree, matched by kernel shapes.
 
     ESPCN's three convs are unambiguous by shape: 5×5×C→64, 3×3×64→32,
-    3×3×32→(C·s²). TF kernels are already HWIO — no transpose needed.
+    3×3×32→(C·s²), with C = 1 in the released luma graphs. TF kernels
+    are already HWIO — no transpose needed.
     """
     import jax.numpy as jnp
 

@@ -142,3 +142,28 @@ def hsv_to_rgb_u8(hsv: jnp.ndarray) -> jnp.ndarray:
                    [p, p, t, v, v, q])
     rgb = jnp.stack([r, g, b], axis=-1)
     return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+
+
+# --- float YCrCb (cv2 COLOR_RGB2YCrCb float semantics) -----------------
+#
+# The reference's cv2.dnn_superres runs ESPCN/LapSRN/FSRCNN on the luma
+# channel of a float [0,1] YCrCb image and bicubic-upscales chroma; the
+# classic-model luma path reproduces that flow. cv2 float constants:
+# delta = 0.5, Cr = (R-Y)*0.713 + delta, Cb = (B-Y)*0.564 + delta.
+
+def rgb_to_ycrcb_f32(rgb):
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cr = (r - y) * 0.713 + 0.5
+    cb = (b - y) * 0.564 + 0.5
+    return jnp.stack([y, cr, cb], axis=-1) if isinstance(rgb, jnp.ndarray) \
+        else np.stack([y, cr, cb], axis=-1)
+
+
+def ycrcb_to_rgb_f32(ycc):
+    y, cr, cb = ycc[..., 0], ycc[..., 1] - 0.5, ycc[..., 2] - 0.5
+    r = y + 1.403 * cr
+    g = y - 0.714 * cr - 0.344 * cb
+    b = y + 1.773 * cb
+    return jnp.stack([r, g, b], axis=-1) if isinstance(ycc, jnp.ndarray) \
+        else np.stack([r, g, b], axis=-1)

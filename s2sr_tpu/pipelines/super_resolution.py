@@ -47,6 +47,8 @@ def create_sr_model(model: str = "edsr", scale: int = 4):
             convert_edsr_pb, convert_espcn_pb, convert_lapsrn_pb,
         )
 
+        from ..models.classic import ESPCN, LapSRN
+
         family = config["family"]
         if family == "edsr":
             params, inferred = convert_edsr_pb(pb, scale)
@@ -54,13 +56,17 @@ def create_sr_model(model: str = "edsr", scale: int = 4):
                             num_blocks=inferred["blocks"])
             mean = inferred.get("mean")
             if mean is not None:
-                # graphs trained on [0,255] inputs carry a 0-255 mean
+                # EDSR runs in the graph's native 0-255 domain
                 instance.mean = jnp.asarray(
-                    mean / 255.0 if mean.max() > 1.0 else mean)
+                    mean if mean.max() > 1.0 else mean * 255.0)
         elif family == "espcn":
             params = convert_espcn_pb(pb, scale)
+            instance = ESPCN(scale=scale,
+                             num_ch=int(params["conv1"]["kernel"].shape[2]))
         elif family == "lapsrn":
             params = convert_lapsrn_pb(pb, scale)
+            instance = LapSRN(scale=scale,
+                              num_ch=int(params["head"]["kernel"].shape[2]))
         else:
             raise ValueError(f"no .pb converter for family {family}")
         logger.info("%s: converted frozen GraphDef %s", name, pb)
@@ -68,6 +74,33 @@ def create_sr_model(model: str = "edsr", scale: int = 4):
         logger.warning("%s: no converted weights — random init", name)
         params = instance.init(jax.random.PRNGKey(0))
     return instance, params
+
+
+def run_classic_sr(instance, params, img: np.ndarray) -> np.ndarray:
+    """uint8 (H, W, 3) → uint8 (sH, sW, 3) through a classic model.
+
+    Single-channel models (the released ESPCN/LapSRN luma graphs) run
+    the reference's ``cv2.dnn_superres`` flow: float [0,1] YCrCb, net
+    on Y, INTER_CUBIC chroma upscale, merge, back to RGB
+    (``dnn_superres`` preprocess/reconstruct; oracle-tested resize and
+    colorspace in :mod:`s2sr_tpu.ops.resize` / ``ops.color``)."""
+    from ..ops.color import rgb_to_ycrcb_f32, ycrcb_to_rgb_f32
+    from ..ops.resize import upscale_cubic
+
+    scale = instance.scale
+    x01 = img.astype(np.float32) / 255.0
+    if getattr(instance, "num_ch", 3) == 1:
+        ycc = rgb_to_ycrcb_f32(x01)
+        y_hr = jax.jit(instance.apply)(params, jnp.asarray(ycc[..., :1])[None])[0]
+        chroma = upscale_cubic(ycc[..., 1:], scale)
+        out = ycrcb_to_rgb_f32(
+            np.concatenate([np.asarray(y_hr), chroma], axis=-1))
+    else:
+        out = np.asarray(
+            jax.jit(instance.apply)(params, jnp.asarray(x01)[None])[0])
+    return np.asarray(
+        jnp.clip(jnp.round(jnp.asarray(out) * 255.0), 0, 255)
+        .astype(jnp.uint8))
 
 
 def apply_super_resolution(
@@ -83,10 +116,7 @@ def apply_super_resolution(
 
     with timer.stage(f"{model.upper()} x{scale}"):
         instance, params = create_sr_model(model, scale)
-        x = jnp.asarray(img.astype(np.float32) / 255.0)[None]
-        out = jax.jit(instance.apply)(params, x)[0]
-        out_u8 = np.asarray(
-            jnp.clip(jnp.round(out * 255.0), 0, 255).astype(jnp.uint8))
+        out_u8 = run_classic_sr(instance, params, img)
 
     final = save_sr_output(out_u8, Path(output_path), transform, crs, scale)
     metadata = {

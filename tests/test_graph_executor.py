@@ -1,0 +1,362 @@
+"""Converter validation via direct GraphDef execution (VERDICT r2 #4).
+
+Three independent evaluations of the SAME synthesized frozen graph
+(full op wiring, released topologies):
+
+1. the numpy graph executor (``models/graph_executor.py``) — TF
+   semantics, node-for-node;
+2. ``cv2.dnn.readNetFromTensorflow`` where its importer supports the
+   ops — the very engine the reference's ``dnn_superres`` wraps;
+3. ``models/classic.py`` forward on ``pb_reader``-converted params.
+
+Agreement of (3) with (1)/(2) proves the converters map node ordering,
+kernel layouts (incl. TF depth-to-space channel order and
+Conv2DBackpropInput filter layout) and the model topology correctly —
+shape checks alone could not catch a systematic misread.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from test_pb_reader import const_node, field
+
+# --- GraphDef builder (full op wiring) ---------------------------------
+
+_T = None  # set below
+
+
+def attr(key, val):
+    return field(5, 2, field(1, 2, key.encode()) + field(2, 2, val))
+
+
+def attr_s(key, s):
+    return attr(key, field(2, 2, s))
+
+
+def attr_i(key, i):
+    return attr(key, field(3, 0, i))
+
+
+def attr_f(key, f):
+    return attr(key, field(4, 5, struct.pack("<f", f)))
+
+
+def attr_list_i(key, ints):
+    return attr(key, field(1, 2, b"".join(field(3, 0, i) for i in ints)))
+
+
+T = attr("T", field(6, 0, 1))  # DT_FLOAT
+
+
+def node(name, op, inputs=(), attrs=b""):
+    n = field(1, 2, name.encode()) + field(2, 2, op.encode())
+    for i in inputs:
+        n += field(3, 2, i.encode())
+    return field(1, 2, n + attrs)
+
+
+def const_i32(name, arr):
+    arr = np.asarray(arr, np.int32)
+    shape = b"".join(field(2, 2, field(1, 0, s)) for s in arr.shape)
+    tp = field(1, 0, 3) + field(2, 2, shape) + field(4, 2, arr.astype("<i4").tobytes())
+    ae = field(1, 2, b"value") + field(2, 2, field(8, 2, tp))
+    return field(1, 2, field(1, 2, name.encode()) + field(2, 2, b"Const")
+                 + field(5, 2, ae))
+
+
+class GB:
+    """Tiny graph builder emitting wired NodeDefs."""
+
+    def __init__(self):
+        self.parts = [node("x", "Placeholder", attrs=attr("dtype", field(6, 0, 1)))]
+        self.n = 0
+
+    def _name(self, prefix):
+        self.n += 1
+        return f"{prefix}_{self.n}"
+
+    def const(self, arr, prefix="c"):
+        name = self._name(prefix)
+        self.parts.append(const_node(name, np.asarray(arr, np.float32)))
+        return name
+
+    def conv(self, inp, kernel, bias=None, stride=1):
+        w = self.const(kernel, "w")
+        name = self._name("conv")
+        self.parts.append(node(name, "Conv2D", [inp, w],
+                               attr_s("padding", b"SAME")
+                               + attr_list_i("strides", [1, stride, stride, 1])
+                               + attr_s("data_format", b"NHWC") + T))
+        if bias is not None:
+            b = self.const(bias, "b")
+            bname = self._name("bias")
+            self.parts.append(node(bname, "BiasAdd", [name, b],
+                                   attr_s("data_format", b"NHWC") + T))
+            return bname
+        return name
+
+    def tconv(self, inp, kernel, out_shape, stride=2):
+        w = self.const(kernel, "tw")
+        oshape = self._name("oshape")
+        self.parts.append(const_i32(oshape, out_shape))
+        name = self._name("tconv")
+        self.parts.append(node(name, "Conv2DBackpropInput", [oshape, w, inp],
+                               attr_s("padding", b"SAME")
+                               + attr_list_i("strides", [1, stride, stride, 1])
+                               + attr_s("data_format", b"NHWC") + T))
+        return name
+
+    def unary(self, op, inp, attrs=b""):
+        name = self._name(op.lower())
+        self.parts.append(node(name, op, [inp], T + attrs))
+        return name
+
+    def binary(self, op, a, b):
+        name = self._name(op.lower())
+        self.parts.append(node(name, op, [a, b], T))
+        return name
+
+    def d2s(self, inp, block):
+        name = self._name("d2s")
+        self.parts.append(node(name, "DepthToSpace", [inp],
+                               attr_i("block_size", block)
+                               + attr_s("data_format", b"NHWC") + T))
+        return name
+
+    def write(self, path):
+        path.write_bytes(b"".join(self.parts))
+        return path
+
+
+def _k(rng, *shape, scale=0.3):
+    return ((rng.random(shape) - 0.5) * scale).astype(np.float32)
+
+
+# --- executor vs cv2.dnn (semantics cross-check) -----------------------
+
+def test_executor_matches_cv2_dnn_conv_ops(tmp_path, rng):
+    """Conv2D (stride 1/2) + Conv2DBackpropInput + elementwise chain:
+    the numpy executor must agree with cv2's TF importer — pinning the
+    tricky transposed-conv semantics to the reference's own engine."""
+    cv2 = pytest.importorskip("cv2")
+    from s2sr_tpu.models.graph_executor import execute_graphdef
+
+    g = GB()
+    c1 = g.conv("x", _k(rng, 3, 3, 3, 8), _k(rng, 8), stride=1)
+    r1 = g.unary("Relu", c1)
+    c2 = g.conv(r1, _k(rng, 3, 3, 8, 8), _k(rng, 8), stride=2)
+    l1 = g.unary("LeakyRelu", c2, attr_f("alpha", 0.2))
+    up = g.tconv(l1, _k(rng, 4, 4, 8, 8), [1, 12, 10, 8], stride=2)
+    g.binary("Add", up, g.const(np.zeros(8)))
+    p = g.write(tmp_path / "ops.pb")
+
+    x = rng.random((1, 12, 10, 3)).astype(np.float32)
+    mine = execute_graphdef(p, {"x": x})
+
+    net = cv2.dnn.readNetFromTensorflow(str(p))
+    net.setInput(x.transpose(0, 3, 1, 2))
+    theirs = net.forward().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(mine, theirs, atol=2e-5)
+
+
+# --- EDSR --------------------------------------------------------------
+
+def _edsr_wired_graph(tmp_path, rng, feat=12, blocks=2, scale=2,
+                      mean=(114.4, 111.5, 103.0)):
+    g = GB()
+    m = g.const(np.asarray(mean, np.float32), "mean")
+    h = g.binary("Sub", "x", m)
+    head = g.conv(h, _k(rng, 3, 3, 3, feat), _k(rng, feat))
+    cur = head
+    for _ in range(blocks):
+        c1 = g.conv(cur, _k(rng, 3, 3, feat, feat), _k(rng, feat))
+        r = g.unary("Relu", c1)
+        c2 = g.conv(r, _k(rng, 3, 3, feat, feat), _k(rng, feat))
+        cur = g.binary("Add", cur, c2)
+    body = g.conv(cur, _k(rng, 3, 3, feat, feat), _k(rng, feat))
+    cur = g.binary("Add", head, body)
+    s = scale
+    while s > 1:
+        f = 3 if s == 3 else 2
+        up = g.conv(cur, _k(rng, 3, 3, feat, feat * f * f), _k(rng, feat * f * f))
+        cur = g.d2s(up, f)
+        s //= f
+    tail = g.conv(cur, _k(rng, 3, 3, feat, 3), _k(rng, 3))
+    g.binary("Add", tail, m)
+    return g.write(tmp_path / f"edsr_x{scale}.pb")
+
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+def test_edsr_converter_matches_graph_execution(tmp_path, rng, scale):
+    import jax.numpy as jnp
+
+    from s2sr_tpu.models.classic import EDSR
+    from s2sr_tpu.models.graph_executor import execute_graphdef
+    from s2sr_tpu.models.pb_reader import convert_edsr_pb
+
+    p = _edsr_wired_graph(tmp_path, rng, feat=12, blocks=2, scale=scale)
+    params, config = convert_edsr_pb(p, scale)
+    assert config["channels"] == 12 and config["blocks"] == 2
+    np.testing.assert_allclose(config["mean"], [114.4, 111.5, 103.0],
+                               rtol=1e-6)
+
+    x255 = (rng.random((1, 9, 11, 3)) * 255).astype(np.float32)
+    want = execute_graphdef(p, {"x": x255})
+
+    inst = EDSR(scale=scale, num_feat=12, num_blocks=2, dtype=jnp.float32)
+    inst.mean = jnp.asarray(config["mean"])
+    got = np.asarray(inst.apply(params, jnp.asarray(x255 / 255.0))) * 255.0
+    np.testing.assert_allclose(got[0], want[0], rtol=2e-4, atol=2e-3)
+
+
+# --- ESPCN (1-channel released topology) -------------------------------
+
+@pytest.mark.parametrize("scale", [2, 3, 4])
+def test_espcn_converter_matches_graph_execution(tmp_path, rng, scale):
+    import jax.numpy as jnp
+
+    from s2sr_tpu.models.classic import ESPCN
+    from s2sr_tpu.models.graph_executor import execute_graphdef
+    from s2sr_tpu.models.pb_reader import convert_espcn_pb
+
+    g = GB()
+    c1 = g.conv("x", _k(rng, 5, 5, 1, 64), _k(rng, 64))
+    t1 = g.unary("Tanh", c1)
+    c2 = g.conv(t1, _k(rng, 3, 3, 64, 32), _k(rng, 32))
+    t2 = g.unary("Tanh", c2)
+    c3 = g.conv(t2, _k(rng, 3, 3, 32, scale * scale), _k(rng, scale * scale))
+    g.d2s(c3, scale)
+    p = g.write(tmp_path / f"espcn_x{scale}.pb")
+
+    params = convert_espcn_pb(p, scale)
+    assert params["conv1"]["kernel"].shape == (5, 5, 1, 64)
+
+    x = rng.random((1, 7, 9, 1)).astype(np.float32)
+    want = execute_graphdef(p, {"x": x})
+    inst = ESPCN(scale=scale, num_ch=1, dtype=jnp.float32)
+    got = np.asarray(inst.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got[0], want[0], rtol=1e-5, atol=1e-6)
+
+
+# --- LapSRN (1-channel, transposed convs, multi-level) -----------------
+
+def _lapsrn_wired_graph(tmp_path, rng, h, w, feat=8, depth=2, scale=4):
+    g = GB()
+    head = g.conv("x", _k(rng, 3, 3, 1, feat), _k(rng, feat))
+    fcur = g.unary("LeakyRelu", head, attr_f("alpha", 0.2))
+    icur = "x"
+    size = np.array([h, w])
+    levels = {2: 1, 4: 2, 8: 3}[scale]
+    for _ in range(levels):
+        e = fcur
+        for _ in range(depth):
+            c = g.conv(e, _k(rng, 3, 3, feat, feat), _k(rng, feat))
+            e = g.unary("LeakyRelu", c, attr_f("alpha", 0.2))
+        size = size * 2
+        fcur = g.tconv(e, _k(rng, 4, 4, feat, feat),
+                       [1, int(size[0]), int(size[1]), feat])
+        res = g.conv(fcur, _k(rng, 3, 3, feat, 1), _k(rng, 1))
+        iup = g.tconv(icur, _k(rng, 4, 4, 1, 1),
+                      [1, int(size[0]), int(size[1]), 1])
+        icur = g.binary("Add", iup, res)
+    return g.write(tmp_path / f"lapsrn_x{scale}.pb")
+
+
+@pytest.mark.parametrize("scale", [2, 4, 8])
+def test_lapsrn_converter_matches_graph_execution(tmp_path, rng, scale):
+    import jax.numpy as jnp
+
+    from s2sr_tpu.models.classic import LapSRN
+    from s2sr_tpu.models.graph_executor import execute_graphdef
+    from s2sr_tpu.models.pb_reader import convert_lapsrn_pb
+
+    h, w = 6, 9
+    p = _lapsrn_wired_graph(tmp_path, rng, h, w, feat=8, depth=2,
+                            scale=scale)
+    params = convert_lapsrn_pb(p, scale)
+    assert params["head"]["kernel"].shape == (3, 3, 1, 8)
+
+    x = rng.random((1, h, w, 1)).astype(np.float32)
+    want = execute_graphdef(p, {"x": x})
+    inst = LapSRN(scale=scale, num_feat=8, depth_per_level=2, num_ch=1,
+                  dtype=jnp.float32)
+    got = np.asarray(inst.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got[0], want[0], rtol=1e-4, atol=1e-5)
+
+
+def test_lapsrn_graph_matches_cv2_dnn(tmp_path, rng):
+    """The full LapSRN graph (no DepthToSpace) runs through cv2's TF
+    importer — a third, fully independent oracle for the same file."""
+    cv2 = pytest.importorskip("cv2")
+    from s2sr_tpu.models.graph_executor import execute_graphdef
+
+    h, w = 6, 9
+    p = _lapsrn_wired_graph(tmp_path, rng, h, w, feat=8, depth=2, scale=2)
+    x = rng.random((1, h, w, 1)).astype(np.float32)
+    mine = execute_graphdef(p, {"x": x})
+    net = cv2.dnn.readNetFromTensorflow(str(p))
+    net.setInput(x.transpose(0, 3, 1, 2))
+    theirs = net.forward().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(mine, theirs, atol=2e-5)
+
+
+# --- luma path (cv2.dnn_superres flow) ---------------------------------
+
+def test_luma_path_matches_cv2_primitives(rng):
+    """YCrCb split + INTER_CUBIC chroma resize replicate cv2 — the
+    pipeline's 1-channel flow equals dnn_superres preprocessing."""
+    cv2 = pytest.importorskip("cv2")
+    from s2sr_tpu.ops.color import rgb_to_ycrcb_f32, ycrcb_to_rgb_f32
+    from s2sr_tpu.ops.resize import upscale_cubic
+
+    rgb = rng.random((11, 13, 3)).astype(np.float32)
+    want = cv2.cvtColor(rgb, cv2.COLOR_RGB2YCrCb)
+    got = np.asarray(rgb_to_ycrcb_f32(rgb))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ycrcb_to_rgb_f32(got)),
+                               cv2.cvtColor(want, cv2.COLOR_YCrCb2RGB),
+                               atol=1e-6)
+    for s in (2, 3, 4, 8):
+        np.testing.assert_allclose(
+            upscale_cubic(rgb, s),
+            cv2.resize(rgb, None, fx=s, fy=s,
+                       interpolation=cv2.INTER_CUBIC), atol=1e-5)
+
+
+def test_run_classic_sr_single_channel(tmp_path, rng):
+    """End-to-end: a converted 1-channel ESPCN graph upscales an RGB
+    image through the luma path; luma equals the network's output and
+    chroma equals cubic upscale (the dnn_superres reconstruction)."""
+    import jax.numpy as jnp
+
+    from s2sr_tpu.models.classic import ESPCN
+    from s2sr_tpu.models.pb_reader import convert_espcn_pb
+    from s2sr_tpu.ops.color import rgb_to_ycrcb_f32
+    from s2sr_tpu.ops.resize import upscale_cubic
+    from s2sr_tpu.pipelines.super_resolution import run_classic_sr
+
+    scale = 2
+    g = GB()
+    c1 = g.conv("x", _k(rng, 5, 5, 1, 16), _k(rng, 16))
+    t1 = g.unary("Tanh", c1)
+    c2 = g.conv(t1, _k(rng, 3, 3, 16, 8), _k(rng, 8))
+    t2 = g.unary("Tanh", c2)
+    c3 = g.conv(t2, _k(rng, 3, 3, 8, scale * scale), _k(rng, scale * scale))
+    g.d2s(c3, scale)
+    p = g.write(tmp_path / "espcn_small.pb")
+    params = convert_espcn_pb(p, scale)
+    inst = ESPCN(scale=scale, num_ch=1, dtype=jnp.float32)
+
+    img = (rng.random((10, 12, 3)) * 255).astype(np.uint8)
+    out = run_classic_sr(inst, params, img)
+    assert out.shape == (20, 24, 3)
+
+    ycc = rgb_to_ycrcb_f32(img.astype(np.float32) / 255.0)
+    y_hr = np.asarray(inst.apply(params, jnp.asarray(ycc[..., :1])[None]))[0]
+    from s2sr_tpu.ops.color import ycrcb_to_rgb_f32
+    want = ycrcb_to_rgb_f32(np.concatenate(
+        [y_hr, upscale_cubic(ycc[..., 1:], scale)], axis=-1))
+    want_u8 = np.clip(np.round(want * 255.0), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(out, want_u8)
