@@ -8,6 +8,7 @@ FROM python:3.12-slim
 
 RUN apt-get update && apt-get install -y --no-install-recommends \
         g++ make libpng-dev zlib1g-dev curl \
+        tesseract-ocr fonts-dejavu-core \
     && rm -rf /var/lib/apt/lists/*
 
 WORKDIR /app
@@ -15,7 +16,8 @@ WORKDIR /app
 # JAX for TPU (pinned by deploy environment); CPU fallback for dev images
 ARG JAX_VARIANT=jax[tpu]
 RUN pip install --no-cache-dir "${JAX_VARIANT}" \
-        flax optax orbax-checkpoint pydantic requests pillow numpy scipy
+        flax optax orbax-checkpoint pydantic requests pillow numpy scipy \
+        pytesseract
 
 COPY s2sr_tpu/ /app/s2sr_tpu/
 COPY bench.py /app/

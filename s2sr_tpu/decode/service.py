@@ -7,10 +7,12 @@ low-quality per :func:`..decode.serial.should_retry_with_enhancement`),
 run the image through the Real-ESRGAN engine and try again.
 
 OCR: the reference uses Tesseract.js in the browser. A server
-Tesseract is not bundled; when ``pytesseract`` + the binary are
-present they are used, otherwise the response carries an explicit
-``{"available": false}`` marker (loud degraded mode, mirroring the
-pretrained-weights policy) and the flow continues QR-only.
+Tesseract is not bundled and cannot be installed in this image, so the
+flow uses the in-repo printed-text recognizer
+(:mod:`s2sr_tpu.decode.ocr` — binarize → connected components → glyph
+template matching against PIL-rendered font atlases) whenever
+``pytesseract`` is absent; the explicit ``{"available": false}``
+marker remains only for environments missing PIL entirely.
 """
 
 from __future__ import annotations
@@ -44,12 +46,16 @@ def _try_ocr(image: np.ndarray) -> dict:
         conf = (sum(w["confidence"] for w in words) / len(words)
                 if words else 0.0)
         return {"available": True, "text": text, "confidence": conf,
-                "words": words}
+                "words": words, "engine": "tesseract"}
     except ImportError:
-        return {"available": False, "text": "", "confidence": 0.0,
-                "words": [],
-                "reason": "pytesseract/tesseract not installed"}
+        pass
     except Exception as exc:  # noqa: BLE001 — OCR failure is non-fatal
+        logger.warning("tesseract OCR failed, using builtin: %s", exc)
+    try:
+        from .ocr import ocr_image
+
+        return ocr_image(image)
+    except Exception as exc:  # noqa: BLE001
         return {"available": False, "text": "", "confidence": 0.0,
                 "words": [], "reason": str(exc)}
 
