@@ -65,7 +65,19 @@ def main():
          mpix_s=round(big * big / dt / 1e6, 3))
 
     # config 3: original-tile generation z10–16 (warp + pyramid + encode)
-    from s2sr_tpu.tiles.pyramid import generate_xyz_tiles
+    from s2sr_tpu.tiles.pyramid import (generate_xyz_tiles,
+                                        warp_tiles_device_benchmark)
+
+    # 3a: device-compute only (single probe readback) — the stable,
+    # regression-gated number; the end-to-end figure below includes
+    # relay transfer + host PNG encode and varies by session
+    zmax = 13 if args.quick else 16
+    n_base = warp_tiles_device_benchmark(scene_big, zmax)   # compile
+    t0 = time.perf_counter()
+    warp_tiles_device_benchmark(scene_big, zmax)
+    dt = time.perf_counter() - t0
+    emit("3a_tile_warp_compute", dt, tiles=n_base,
+         tiles_s=round(n_base / dt, 1))
 
     t0 = time.perf_counter()
     generate_xyz_tiles(scene_big, tmp / "tiles", min_zoom=10,

@@ -134,3 +134,44 @@ def generate_xyz_tiles(
             level = _downsample_level(level, tile_size)
     logger.info("Tile generation complete: %d tiles → %s", count, output_dir)
     return output_dir
+
+
+def warp_tiles_device_benchmark(
+    raster: GeoTiff,
+    zoom: int,
+    tile_size: int = TILE_SIZE,
+    batch: int = 32,
+    grid: int = 17,
+    resampling: str = "bilinear",
+) -> int:
+    """Dispatch every base-zoom warp batch and read back ONE probe int.
+
+    Benchmark helper (VERDICT r2 #6): timing :func:`generate_xyz_tiles`
+    conflates device compute with relay tile transfers, whose
+    throughput varies by session — this isolates the device-compute
+    tiles/s (the regression-gated number). The probe sums one pixel per
+    tile so every batch's computation is live. Returns the tile count.
+    """
+    assert raster.crs is not None
+    w, s, e, n = raster.bounds
+    bounds_3857 = transform_bounds(raster.crs, CRS(3857), w, s, e, n)
+    keys = list(tiles_for_bounds(bounds_3857, zoom))
+    res = resolution(zoom, tile_size)
+    src = jnp.asarray(raster.data[:, :, :3].astype(np.float32))
+    probe = jnp.zeros((), jnp.int32)
+    for i in range(0, len(keys), batch):
+        chunk = keys[i:i + batch]
+        ctrls = np.stack([
+            control_grid(
+                Affine.from_origin(tile_bounds(zoom, x, y)[0],
+                                   tile_bounds(zoom, x, y)[3], res, res),
+                CRS(3857), raster.transform, raster.crs,
+                tile_size, tile_size, grid=grid,
+            )
+            for x, y in chunk
+        ])
+        rgba = _warp_tiles_rgba_u8(src, jnp.asarray(ctrls), tile_size,
+                                   resampling == "lanczos")
+        probe = probe + rgba[:, 0, 0, 0].astype(jnp.int32).sum()
+    int(np.asarray(probe))            # ONE readback for the whole run
+    return len(keys)

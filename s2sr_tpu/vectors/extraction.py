@@ -19,10 +19,12 @@ from __future__ import annotations
 
 import hashlib
 from dataclasses import dataclass
+from functools import partial
 from datetime import datetime, timezone
 from pathlib import Path
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -102,19 +104,30 @@ def compute_ndvi(raster: GeoTiff) -> Optional[np.ndarray]:
     return np.where(denominator > 0, (nir - red) / safe, 0).astype(np.float32)
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _green_mask_device(rgb, hue_range, sat_min, val_min):
+    # ONE jit for the whole colour decision: eagerly-dispatched jnp ops
+    # each round-trip the remote-compile relay (measured: the eager HSV
+    # alone took minutes; this chain runs in milliseconds warm)
+    hsv = rgb_to_hsv_u8(rgb)
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    hue_min, hue_max = hue_range
+    green = ((h >= hue_min) & (h <= hue_max)
+             & (s >= sat_min) & (v >= val_min))
+    brown = ((h >= 10) & (h <= 35) & (s >= 20) & (s <= 200)
+             & (v >= 40) & (v <= 200))
+    return (green | brown).astype(jnp.float32)
+
+
 def compute_green_mask_hsv(raster: GeoTiff, config: ExtractionConfig) -> np.ndarray:
     rgb = raster.data[:, :, :3]
     if rgb.max() > 255:
         rgb = (rgb / rgb.max() * 255).astype(np.uint8)
     else:
         rgb = rgb.astype(np.uint8)
-    hsv = np.asarray(rgb_to_hsv_u8(jnp.asarray(rgb)))
-    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
-    hue_min, hue_max = config.hsv_green_hue_range
-    green = ((h >= hue_min) & (h <= hue_max)
-             & (s >= config.hsv_saturation_min) & (v >= config.hsv_value_min))
-    brown = (h >= 10) & (h <= 35) & (s >= 20) & (s <= 200) & (v >= 40) & (v <= 200)
-    return (green | brown).astype(np.float32)
+    return np.asarray(_green_mask_device(
+        jnp.asarray(rgb), tuple(config.hsv_green_hue_range),
+        config.hsv_saturation_min, config.hsv_value_min))
 
 
 def compute_vegetation_mask(
@@ -129,8 +142,25 @@ def compute_vegetation_mask(
 
 
 def segment_fields(vegetation_mask: np.ndarray,
-                   config: ExtractionConfig) -> np.ndarray:
-    """Device segmentation chain (``:304-383`` semantics)."""
+                   config: ExtractionConfig,
+                   timings: Optional[dict] = None) -> np.ndarray:
+    """Device segmentation chain (``:304-383`` semantics).
+
+    With ``timings`` each device stage is synced (forced readback — the
+    relay does not synchronise on ``block_until_ready``) and its
+    wall-clock recorded; production runs leave it ``None`` so the whole
+    chain dispatches asynchronously."""
+    import time as _time
+
+    def _mark(name, val):
+        if timings is not None:
+            np.asarray(val.ravel()[:1])
+            now = _time.perf_counter()
+            timings[name] = round(now - _mark.t0, 3)
+            _mark.t0 = now
+        return val
+
+    _mark.t0 = _time.perf_counter()
     mask_dev = jnp.asarray(vegetation_mask)
     smoothed = ops.gaussian_filter(mask_dev, config.gaussian_sigma)
     binary = (smoothed > 0.5).astype(jnp.uint8)
@@ -138,12 +168,13 @@ def segment_fields(vegetation_mask: np.ndarray,
                               config.morph_iterations)
     opened = ops.binary_open(closed, config.morph_kernel_size,
                              config.morph_iterations)
-    filled = ops.fill_holes(opened)
+    filled = _mark("seg_morphology", ops.fill_holes(opened))
 
-    dist = ops.distance_transform(filled)
+    dist = _mark("seg_distance_transform", ops.distance_transform(filled))
     local_max = (dist > 0.3 * jnp.max(dist)).astype(jnp.uint8)
-    markers = ops.connected_components(local_max)
-    labels = ops.watershed_uniform(markers, filled)
+    markers = _mark("seg_connected_components",
+                    ops.connected_components(local_max))
+    labels = _mark("seg_watershed", ops.watershed_uniform(markers, filled))
     host = np.asarray(labels)
     num = len(np.unique(host)) - 1
     logger.info("Segmented %d potential field regions", num)
@@ -285,10 +316,39 @@ def extract_field_polygons(
         logger.warning("Crop failed, using original raster: %s", exc)
         working = raster
 
+    import time as _time
+
+    # Shape-bucket the working raster to 256-multiples (zero padding):
+    # every device stage (mask, morphology, EDT, CC, watershed) compiles
+    # per input shape, and through the remote-compile relay a fresh AOI
+    # shape costs minutes — padded buckets make the executables
+    # reusable across AOIs. Zero pixels are never vegetation, so the
+    # padded region contributes no labels; results are cropped back.
+    th, tw = working.data.shape[:2]
+    hb = max(256, -(-th // 256) * 256)
+    wb = max(256, -(-tw // 256) * 256)
+    if (hb, wb) != (th, tw):
+        padded = np.zeros((hb, wb) + working.data.shape[2:],
+                          working.data.dtype)
+        padded[:th, :tw] = working.data
+        working = GeoTiff(padded, transform=working.transform,
+                          crs=working.crs)
+
+    timings: dict = {}
+    t0 = _time.perf_counter()
     vegetation_mask, source_method = compute_vegetation_mask(working, config)
-    labels = segment_fields(vegetation_mask, config)
+    timings["mask"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
+    labels = segment_fields(vegetation_mask, config, timings=timings)
+    labels = labels[:th, :tw]
+    timings["segment_total"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
     raw_features = labels_to_polygons(labels, working.transform, config)
+    timings["polygonise"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
     cleaned = cleanup_polygons(raw_features, config, pixel_size_m)
+    timings["cleanup"] = round(_time.perf_counter() - t0, 3)
+    logger.info("stage timings: %s", timings)
 
     output_path = out_dir / "fields.geojson"
     geojson = create_geojson_output(cleaned, source_method, output_path)
@@ -300,6 +360,7 @@ def extract_field_polygons(
         "output_geojson": str(output_path),
         "feature_count": len(cleaned),
         "source_method": source_method,
+        "stage_timings_s": timings,
         "config": {
             "ndvi_threshold": config.ndvi_threshold,
             "min_area_ha": config.min_area_ha,
@@ -315,5 +376,6 @@ def extract_field_polygons(
         "output_path": str(output_path),
         "feature_count": len(cleaned),
         "source_method": source_method,
+        "stage_timings_s": timings,
         "geojson": geojson,
     }

@@ -84,6 +84,24 @@ def main() -> None:
         err = float(np.abs(got - want).max())
         print(json.dumps({"check": "v3_exact", "max_err": err}))
         assert err < 1e-4, f"v3 inexact on {backend}: {err}"
+    if "v4" in variants or "v4t9" in variants:
+        from s2sr_tpu.ops.pallas.fused_rdb_v4 import rdb_pallas_v4
+
+        packed2f, b14f, b5f = pack_rdb_weights_v2(p, dtype=jnp.float32)
+        if "v4" in variants:
+            got = np.asarray(rdb_pallas_v4(xs, packed2f, b14f, b5f,
+                                           tile=64, stage_taps=3))
+            err = float(np.abs(got - want).max())
+            print(json.dumps({"check": "v4_exact", "max_err": err}))
+            assert err < 1e-4, f"v4 inexact on {backend}: {err}"
+        if "v4t9" in variants:
+            packed3f, _, _ = pack_rdb_weights_v3(p, dtype=jnp.float32)
+            mix = (packed2f[0],) + tuple(packed3f[1:])
+            got = np.asarray(rdb_pallas_v4(xs, mix, b14f, b5f,
+                                           tile=64, stage_taps=9))
+            err = float(np.abs(got - want).max())
+            print(json.dumps({"check": "v4t9_exact", "max_err": err}))
+            assert err < 1e-4, f"v4t9 inexact on {backend}: {err}"
 
     # ---- throughput (bf16, chained) ------------------------------------
     b, h, w = (int(v) for v in args.shape.split(","))
@@ -115,6 +133,17 @@ def main() -> None:
         packed3b, b14_3b, b5_3b = pack_rdb_weights_v3(p, dtype=jnp.bfloat16)
         fns["v3"] = chain(lambda v: rdb_pallas_v3(v, packed3b, b14_3b,
                                                   b5_3b, tile=args.tile))
+    if "v4" in variants or "v4t9" in variants:
+        from s2sr_tpu.ops.pallas.fused_rdb_v4 import rdb_pallas_v4
+
+        if "v4" in variants:
+            fns["v4"] = chain(lambda v: rdb_pallas_v4(
+                v, packed2b, b14_2b, b5_2b, tile=args.tile, stage_taps=3))
+        if "v4t9" in variants:
+            packed3b2, _, _ = pack_rdb_weights_v3(p, dtype=jnp.bfloat16)
+            mixb = (packed2b[0],) + tuple(packed3b2[1:])
+            fns["v4t9"] = chain(lambda v: rdb_pallas_v4(
+                v, mixb, b14_2b, b5_2b, tile=args.tile, stage_taps=9))
 
     useful = b * h * w * FLOPS_PER_PX_RDB * R
     for name, fn in fns.items():

@@ -102,6 +102,7 @@ def main() -> None:
     ap.add_argument("--lo", type=int, default=128)
     ap.add_argument("--hi", type=int, default=1024)
     ap.add_argument("--ks", default="192,128,256,512")
+    ap.add_argument("--pairs", default="")
     args = ap.parse_args()
 
     try:
@@ -113,6 +114,10 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     print(f"# backend: {jax.default_backend()}", file=sys.stderr)
+
+    if args.pairs:
+        pairs_main(args.runs, args.lo, args.hi, args.pairs)
+        return
 
     for k in (int(v) for v in args.ks.split(",")):
         x = jnp.asarray(rng.random((M, k)), jnp.bfloat16)
@@ -130,6 +135,77 @@ def main() -> None:
                 "tf_s": round(tf, 1),
                 "ms_lo": round(t_lo * 1e3, 1), "ms_hi": round(t_hi * 1e3, 1),
             }), flush=True)
+
+
+
+
+# ---- round 2: rectangular-shape pairs -------------------------------------
+# Chained dots need square weights; rectangular RDB shapes are measured as
+# alternating pairs (K→N then N→K). Run: python scripts/bench_mxu.py --pairs
+
+def _pair_kernel(repeat, stage, x_ref, w1_ref, w2_ref, o_ref, stage_ref):
+    k = x_ref.shape[1]
+    n = w1_ref.shape[1]
+
+    def body(i, acc):
+        if stage:
+            stage_ref[:, 0:k] = acc
+            lhs = stage_ref[:, 0:k]
+        else:
+            lhs = acc
+        mid = jax.lax.dot_general(
+            lhs, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x_ref.dtype)
+        if stage:
+            stage_ref[:, 0:n] = mid
+            mid = stage_ref[:, 0:n]
+        return jax.lax.dot_general(
+            mid, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x_ref.dtype)
+
+    o_ref[:] = jax.lax.fori_loop(0, repeat, body, x_ref[:])
+
+
+def _pair_chain(k, n, repeat, stage):
+    smax = 3 * max(k, n)
+    return jax.jit(functools.partial(
+        lambda xx, w1, w2: pl.pallas_call(
+            functools.partial(_pair_kernel, repeat, stage),
+            grid=(M // MT,),
+            in_specs=[
+                pl.BlockSpec((MT, k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, n), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, k), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((MT, k), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, k), jnp.bfloat16),
+            scratch_shapes=[pltpu.VMEM((MT, smax), jnp.bfloat16)],
+        )(xx, w1, w2)))
+
+
+def pairs_main(runs, lo, hi, specs):
+    rng = np.random.default_rng(0)
+    for spec in specs.split(","):
+        k, n = (int(v) for v in spec.split("x"))
+        x = jnp.asarray(rng.random((M, k)), jnp.bfloat16)
+        w1 = jnp.asarray(rng.random((k, n)), jnp.bfloat16)
+        w2 = jnp.asarray(rng.random((n, k)), jnp.bfloat16)
+        dflops = 2 * M * k * n * 2 * (hi - lo)
+        for stage in (False, True):
+            t_lo = _time(lambda a, b, m=_pair_chain(k, n, lo, stage):
+                         m(a, b, w2), x, w1, runs)
+            t_hi = _time(lambda a, b, m=_pair_chain(k, n, hi, stage):
+                         m(a, b, w2), x, w1, runs)
+            tf = dflops / (t_hi - t_lo) / 1e12 if t_hi > t_lo else float("nan")
+            print(json.dumps({
+                "bench": "pair_stage" if stage else "pair",
+                "k": k, "n": n, "tf_s": round(tf, 1),
+                "ms_lo": round(t_lo * 1e3, 1),
+                "ms_hi": round(t_hi * 1e3, 1)}), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,104 @@
+"""SwinIR on-TPU decomposition bench (VERDICT r2 #7).
+
+Times the full forward and targeted ablations (differential against the
+full model) to locate where the 0.249 MPix/s goes: the attention
+score/context matmuls (tiny K=30 batched shapes), softmax, or the
+dense GEMMs. Ablations change the math — they exist only to attribute
+time, never to ship.
+
+Usage: python scripts/bench_swinir.py [--runs 3] [--size 512]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--modes", default="full,attn_bf16,no_softmax,no_attn")
+    args = ap.parse_args()
+
+    try:
+        from s2sr_tpu.utils.jax_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
+
+    from s2sr_tpu.models import swinir as sw
+
+    model = sw.SwinIR(scale=4, dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    # the engine's halo window batch for a 512² image: 4 × 288²
+    tile = args.size // 2 + 32
+    x = jnp.asarray(rng.random((4, tile, tile, 3)), jnp.float32)
+
+    orig_attention = sw._attention
+
+    def make_attention(mode):
+        def attention(xx, p, num_heads, window, bias_idx, mask):
+            bw, n, c = xx.shape
+            head_dim = c // num_heads
+            qkv = sw._linear(xx, p["qkv"]).reshape(bw, n, 3, num_heads,
+                                                   head_dim)
+            q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
+            if mode == "no_attn":
+                out = v  # skip both attention matmuls + softmax
+            else:
+                q = q * (head_dim ** -0.5)
+                pref = (jnp.bfloat16 if mode == "attn_bf16"
+                        else jnp.float32)
+                attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                                  preferred_element_type=pref)
+                bias = p["relative_position_bias_table"][bias_idx]
+                attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
+                if mask is not None:
+                    nw = mask.shape[0]
+                    attn = attn.reshape(bw // nw, nw, num_heads, n, n) \
+                        + mask[None, :, None].astype(attn.dtype)
+                    attn = attn.reshape(bw, num_heads, n, n)
+                if mode == "no_softmax":
+                    attn = (attn * 0.01).astype(v.dtype)
+                else:
+                    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+                out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+            out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+            return sw._linear(out, p["proj"])
+        return attention
+
+    for mode in args.modes.split(","):
+        sw._attention = orig_attention if mode == "full" \
+            else make_attention(mode)
+        fwd = jax.jit(lambda p, xx: model.apply(p, xx))
+        t0 = time.perf_counter()
+        out = fwd(params, x)
+        _ = np.asarray(out.ravel()[:1])
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(args.runs):
+            out = fwd(params, x)
+            _ = np.asarray(out.ravel()[:1])
+        dt = (time.perf_counter() - t0) / args.runs
+        px = args.size * args.size
+        print(json.dumps({"mode": mode, "s": round(dt, 3),
+                          "mpix_s": round(px / dt / 1e6, 3),
+                          "compile_s": round(compile_s, 1)}), flush=True)
+    sw._attention = orig_attention
+
+
+if __name__ == "__main__":
+    main()

@@ -73,3 +73,43 @@ def test_v2_border_zero_padding_semantics(rdb_params):
     got = np.asarray(rdb_pallas_v2(x, packed, b14, b5, interpret=True,
                                    tile=32))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# --- v4 (round-3 structure: ref accumulator, border-only masks) ---------
+
+@pytest.mark.parametrize("shape,tile,taps", [
+    ((1, 32, 32), 32, 3),     # single tile, border tile == whole image
+    ((2, 70, 50), 32, 3),     # ragged multi-tile + batch
+    ((1, 40, 200), 32, 3),    # wide
+    ((2, 70, 50), 32, 9),     # 9-tap staging variant
+])
+def test_v4_matches_xla_rdb(rdb_params, shape, tile, taps):
+    from s2sr_tpu.ops.pallas.fused_rdb import (pack_rdb_weights_v2,
+                                               pack_rdb_weights_v3)
+    from s2sr_tpu.ops.pallas.fused_rdb_v4 import rdb_pallas_v4
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((*shape, 64)), jnp.float32)
+    want = np.asarray(_rdb(x, rdb_params, jnp.float32))
+    packed, b14, b5 = pack_rdb_weights_v2(rdb_params, dtype=jnp.float32)
+    if taps == 9:
+        packed9, _, _ = pack_rdb_weights_v3(rdb_params, dtype=jnp.float32)
+        packed = (packed[0],) + tuple(packed9[1:])
+    got = np.asarray(rdb_pallas_v4(x, packed, b14, b5, interpret=True,
+                                   tile=tile, stage_taps=taps))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_v4_border_zero_padding_semantics(rdb_params):
+    """The border-only mask path must reproduce zero-pad SAME exactly on
+    edge tiles (interior tiles skip masking entirely)."""
+    from s2sr_tpu.ops.pallas.fused_rdb import pack_rdb_weights_v2
+    from s2sr_tpu.ops.pallas.fused_rdb_v4 import rdb_pallas_v4
+
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.random((1, 12, 12, 64)), jnp.float32)
+    want = np.asarray(_rdb(x, rdb_params, jnp.float32))
+    packed, b14, b5 = pack_rdb_weights_v2(rdb_params, dtype=jnp.float32)
+    got = np.asarray(rdb_pallas_v4(x, packed, b14, b5, interpret=True,
+                                   tile=32))
+    np.testing.assert_allclose(got, want, atol=1e-5)
