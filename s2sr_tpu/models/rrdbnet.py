@@ -272,18 +272,20 @@ def rrdbnet_apply(
     feat = m(_conv(x, params["conv_first"], dtype))
 
     if use_pallas:
-        # v2 is the best-measured Pallas RDB (34.7 TF/s @ tile 144 vs
-        # 13.6 for v1 — BENCH_NOTES r2); still behind the packed XLA
-        # path (46.0), so this stays opt-in for kernel development.
-        from ..ops.pallas.fused_rdb import pack_rdb_weights_v2, rdb_pallas_v2
+        # v4 is the round-3 kernel (ref-resident f32 prefix accumulator,
+        # border-only masks — see ops/pallas/fused_rdb_v4.py and the
+        # BENCH_NOTES r3 ladder); opt-in until it beats the packed XLA
+        # path at the model level.
+        from ..ops.pallas.fused_rdb import pack_rdb_weights_v2
+        from ..ops.pallas.fused_rdb_v4 import rdb_pallas_v4
 
         def block(carry, block_params):
             out = carry
             for name in ("rdb1", "rdb2", "rdb3"):
                 packed, b14, b5 = pack_rdb_weights_v2(block_params[name],
                                                       dtype=dtype)
-                out = rdb_pallas_v2(out.astype(dtype), packed, b14, b5,
-                                    tile=144)
+                out = rdb_pallas_v4(out.astype(dtype), packed, b14, b5,
+                                    tile=144, stage_taps=3)
             return out * jnp.asarray(0.2, dtype) + carry, None
     else:
         def block(carry, block_params):

@@ -20,10 +20,12 @@ from __future__ import annotations
 
 import hashlib
 from dataclasses import dataclass
+from functools import partial
 from datetime import datetime, timezone
 from pathlib import Path
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -97,20 +99,38 @@ def compute_ndvi_from_rgb(raster: GeoTiff) -> Tuple[np.ndarray, np.ndarray]:
     return np.clip(veg, -1, 1).astype(np.float32), valid
 
 
-def segment_by_gradient(
-    ndvi: np.ndarray, valid_mask: np.ndarray, config: ExtractionConfigV2
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Gradient watershed (``:351-425``). Returns (labels, gradient)."""
-    ndvi_dev = jnp.asarray(ndvi)
-    smooth = ops.gaussian_filter(ndvi_dev, config.gaussian_sigma)
+@partial(jax.jit, static_argnums=(2, 3))
+def _segment_gradient_device(ndvi_dev, valid_dev, sigma, grad_thresh):
+    # ONE traced chain: the eager glue between the jitted ops used to
+    # cost a relay round-trip per operator (the r3 vector-extraction
+    # lesson — BENCH_NOTES "37×")
+    smooth = ops.gaussian_filter(ndvi_dev, sigma)
     gradient = ops.sobel_gradient(smooth)
-
-    interior = (gradient < config.gradient_threshold) & jnp.asarray(valid_mask)
+    interior = (gradient < grad_thresh) & valid_dev
     dist = ops.distance_transform(interior.astype(jnp.uint8))
     local_max = (dist == ops.maximum_filter(dist, 20)) & (dist > 5)
     markers = ops.connected_components(local_max.astype(jnp.uint8))
     labels = ops.watershed_gradient(markers.astype(jnp.int32), gradient,
-                                    jnp.asarray(valid_mask).astype(jnp.uint8))
+                                    valid_dev.astype(jnp.uint8))
+    return labels, gradient
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _grow_road_mask(mask_u8, buffer_px):
+    grown = ops.binary_close(mask_u8, 1, 1)
+    kernel = np.ones((3, 3), np.uint8)
+    for _ in range(buffer_px):
+        grown = ops._dilate_once(grown, kernel)
+    return grown
+
+
+def segment_by_gradient(
+    ndvi: np.ndarray, valid_mask: np.ndarray, config: ExtractionConfigV2
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Gradient watershed (``:351-425``). Returns (labels, gradient)."""
+    labels, gradient = _segment_gradient_device(
+        jnp.asarray(ndvi), jnp.asarray(valid_mask),
+        float(config.gaussian_sigma), float(config.gradient_threshold))
     host = ops.renumber_labels(np.asarray(labels))
 
     # prune small regions (:415-420)
@@ -182,12 +202,9 @@ def carve_roads_from_labels(
             ok = (cs >= 0) & (cs < w) & (rs >= 0) & (rs < h)
             road_mask[rs[ok], cs[ok]] = True
     if buffer_px > 1:
-        road_mask = np.asarray(ops.binary_close(
-            jnp.asarray(road_mask.astype(np.uint8)), 1, 1)) > 0
-        grown = jnp.asarray(road_mask.astype(np.uint8))
-        for _ in range(buffer_px):
-            grown = ops._dilate_once(grown, np.ones((3, 3), np.uint8))
-        road_mask = np.asarray(grown) > 0
+        road_mask = np.asarray(
+            _grow_road_mask(jnp.asarray(road_mask.astype(np.uint8)),
+                            int(buffer_px))) > 0
     out = labels.copy()
     out[road_mask] = 0
     return out

@@ -37,6 +37,8 @@ def main() -> None:
     ap.add_argument("--chain", type=int, default=12)
     ap.add_argument("--shape", default="16,276,276")
     ap.add_argument("--tile", type=int, default=144)
+    ap.add_argument("--skip-gate", action="store_true",
+                    help="throughput only (gates already green this session)")
     args = ap.parse_args()
 
     try:
@@ -63,28 +65,28 @@ def main() -> None:
 
     # ---- exactness gate (fp32, ragged small shape) ---------------------
     xs = jnp.asarray(rng.random((1, 40, 72, 64)), jnp.float32)
-    want = np.asarray(_rdb(xs, p, jnp.float32))
+    want = np.asarray(_rdb(xs, p, jnp.float32)) if not args.skip_gate else None
     packed1, b14_1, b5_1 = pack_rdb_weights(p, dtype=jnp.float32)
     packed2, b14_2, b5_2 = pack_rdb_weights_v2(p, dtype=jnp.float32)
     variants = args.variants.split(",")
-    if "v1" in variants:
+    if "v1" in variants and not args.skip_gate:
         got = np.asarray(rdb_pallas(xs, packed1, b14_1, b5_1))
         err = float(np.abs(got - want).max())
         print(json.dumps({"check": "v1_exact", "max_err": err}))
         assert err < 1e-4, f"v1 inexact on {backend}: {err}"
-    if "v2" in variants:
+    if "v2" in variants and not args.skip_gate:
         got = np.asarray(rdb_pallas_v2(xs, packed2, b14_2, b5_2))
         err = float(np.abs(got - want).max())
         print(json.dumps({"check": "v2_exact", "max_err": err}))
         assert err < 1e-4, f"v2 inexact on {backend}: {err}"
-    if "v3" in variants:
+    if "v3" in variants and not args.skip_gate:
         packed3, b14_3, b5_3 = pack_rdb_weights_v3(p, dtype=jnp.float32)
         # fp32 doubles every VMEM buffer; gate at tile=64 (input is 40×72)
         got = np.asarray(rdb_pallas_v3(xs, packed3, b14_3, b5_3, tile=64))
         err = float(np.abs(got - want).max())
         print(json.dumps({"check": "v3_exact", "max_err": err}))
         assert err < 1e-4, f"v3 inexact on {backend}: {err}"
-    if "v4" in variants or "v4t9" in variants:
+    if ("v4" in variants or "v4t9" in variants) and not args.skip_gate:
         from s2sr_tpu.ops.pallas.fused_rdb_v4 import rdb_pallas_v4
 
         packed2f, b14f, b5f = pack_rdb_weights_v2(p, dtype=jnp.float32)
