@@ -90,13 +90,17 @@ def _attention(x, p, num_heads: int, window: int, bias_idx: jnp.ndarray,
     qkv = _linear(x, p["qkv"]).reshape(bw, n, 3, num_heads, head_dim)
     q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
     q = q * (head_dim ** -0.5)
+    # scores in the compute dtype: the (B·nW, heads, N, N) matrices are
+    # the model's biggest HBM tensors (bf16 halves that traffic; fp32
+    # runs — the parity tests — are unchanged)
     attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=v.dtype)
     bias = p["relative_position_bias_table"][bias_idx]       # (N, N, heads)
-    attn = attn + bias.transpose(2, 0, 1)[None]
+    attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
     if mask is not None:
         nw = mask.shape[0]
-        attn = attn.reshape(bw // nw, nw, num_heads, n, n) + mask[None, :, None]
+        attn = attn.reshape(bw // nw, nw, num_heads, n, n) \
+            + mask[None, :, None].astype(attn.dtype)
         attn = attn.reshape(bw, num_heads, n, n)
     attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)

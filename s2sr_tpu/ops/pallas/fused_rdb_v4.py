@@ -96,7 +96,7 @@ def _conv9(b9_ref, oh, kernel9, nout, k9):
 
 def _kernel_v4(hparams, x_hbm, wx, w1, w2, w3, w4, b14, b5,
                out_ref, in_a, in_b, b3, acc, sems):
-    img_h, img_w, tile, stage_taps = hparams
+    img_h, img_w, tile, stage_taps, prefetch = hparams
     b, ty, tx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nty, ntx = pl.num_programs(1), pl.num_programs(2)
     sw = tile + 2 * PAD
@@ -110,34 +110,41 @@ def _kernel_v4(hparams, x_hbm, wx, w1, w2, w3, w4, b14, b5,
             x_hbm.at[bb, pl.ds(tyy * tile, sw), pl.ds(txx * tile, sw), :],
             buf, sems.at[sem_idx])
 
-    slot = step % 2
+    if not prefetch:
+        # serial DMA: no cross-step semaphore protocol (debug knob)
+        d = dma(in_a, 0, b, ty, tx)
+        d.start()
+        d.wait()
+        src = in_a[:, :, :NF]
+    else:
+        slot = step % 2
 
-    @pl.when(step == 0)
-    def _():
-        dma(in_a, 0, b, ty, tx).start()
+        @pl.when(step == 0)
+        def _():
+            dma(in_a, 0, b, ty, tx).start()
 
-    nstep = step + 1
-    tx2 = nstep % ntx
-    ty2 = (nstep // ntx) % nty
-    b2 = nstep // (ntx * nty)
+        nstep = step + 1
+        tx2 = nstep % ntx
+        ty2 = (nstep // ntx) % nty
+        b2 = nstep // (ntx * nty)
 
-    @pl.when((nstep < total) & (nstep % 2 == 0))
-    def _():
-        dma(in_a, 0, b2, ty2, tx2).start()
+        @pl.when((nstep < total) & (nstep % 2 == 0))
+        def _():
+            dma(in_a, 0, b2, ty2, tx2).start()
 
-    @pl.when((nstep < total) & (nstep % 2 == 1))
-    def _():
-        dma(in_b, 1, b2, ty2, tx2).start()
+        @pl.when((nstep < total) & (nstep % 2 == 1))
+        def _():
+            dma(in_b, 1, b2, ty2, tx2).start()
 
-    @pl.when(slot == 0)
-    def _():
-        dma(in_a, 0, b, ty, tx).wait()
+        @pl.when(slot == 0)
+        def _():
+            dma(in_a, 0, b, ty, tx).wait()
 
-    @pl.when(slot == 1)
-    def _():
-        dma(in_b, 1, b, ty, tx).wait()
+        @pl.when(slot == 1)
+        def _():
+            dma(in_b, 1, b, ty, tx).wait()
 
-    src = jnp.where(slot == 0, in_a[:, :, :NF], in_b[:, :, :NF])
+        src = jnp.where(slot == 0, in_a[:, :, :NF], in_b[:, :, :NF])
 
     # border detection: the window [ty·tile, ty·tile+sw) maps to image
     # rows [.. - PAD, ..) in image coords; interior iff the whole
@@ -218,9 +225,10 @@ def _kernel_v4(hparams, x_hbm, wx, w1, w2, w3, w4, b14, b5,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "tile", "stage_taps"))
+                   static_argnames=("interpret", "tile", "stage_taps",
+                                    "prefetch"))
 def rdb_pallas_v4(x: jnp.ndarray, packed, b14, b5, *, interpret=False,
-                  tile=144, stage_taps=3):
+                  tile=144, stage_taps=3, prefetch=True):
     """One fused delta-form RDB, v4 structure. (B, H, W, 64) → same.
 
     ``packed`` is ``pack_rdb_weights_v2(...)`` output for
@@ -237,7 +245,8 @@ def rdb_pallas_v4(x: jnp.ndarray, packed, b14, b5, *, interpret=False,
     oh = sw - 2
     stage_lanes = 3 * NF if stage_taps == 3 else 9 * G
 
-    kernel = functools.partial(_kernel_v4, (h, w, tile, stage_taps))
+    kernel = functools.partial(_kernel_v4,
+                               (h, w, tile, stage_taps, prefetch))
     out = pl.pallas_call(
         kernel,
         grid=(bsz, nty, ntx),
