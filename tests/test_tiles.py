@@ -190,3 +190,19 @@ class TestLanczos:
         row_b = np.asarray(bil[0, 32, :, 0])
         row_l = np.asarray(lan[0, 32, :, 0])
         assert np.abs(np.diff(row_l)).max() > np.abs(np.diff(row_b)).max()
+
+
+def test_warp_tiles_device_benchmark_counts(rng):
+    """The compute-only bench helper must cover exactly the tiles the
+    real pyramid produces at base zoom (one probe readback)."""
+    from s2sr_tpu.fetch.synthetic import synthetic_scene
+    from s2sr_tpu.tiles.mercator import tiles_for_bounds
+    from s2sr_tpu.geo.crs import CRS, transform_bounds
+    from s2sr_tpu.tiles.pyramid import warp_tiles_device_benchmark
+
+    scene = synthetic_scene(size=(256, 256), seed=3)
+    n = warp_tiles_device_benchmark(scene, 13, batch=8)
+    w, s, e, no = scene.bounds
+    keys = list(tiles_for_bounds(
+        transform_bounds(scene.crs, CRS(3857), w, s, e, no), 13))
+    assert n == len(keys) > 0
