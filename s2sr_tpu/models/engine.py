@@ -167,13 +167,19 @@ class SREngine:
                 # exact and serving paths agree bit-for-bit. Bucketed
                 # shapes are also MXU-aligned.
                 hb, wb = -(-h // 64) * 64, -(-w // 64) * 64
-                xp = jnp.pad(x, ((0, hb - h), (0, wb - w), (0, 0)))
-                mask = jnp.pad(jnp.ones((h, w, 1), jnp.float32),
-                               ((0, hb - h), (0, wb - w), (0, 0)))
-                out = rrdbnet_apply(params, xp[None], scale=scale,
-                                    dtype=dtype_, up_sub_batch=up_sub,
-                                    mask=mask[None])[0]
-                out = out[:h * scale, :w * scale]
+                if hb == h and wb == w:
+                    # already on the bucket grid: the mask would be all
+                    # ones — skip the ~345 fused re-zero multiplies
+                    out = rrdbnet_apply(params, x[None], scale=scale,
+                                        dtype=dtype_, up_sub_batch=up_sub)[0]
+                else:
+                    xp = jnp.pad(x, ((0, hb - h), (0, wb - w), (0, 0)))
+                    mask = jnp.pad(jnp.ones((h, w, 1), jnp.float32),
+                                   ((0, hb - h), (0, wb - w), (0, 0)))
+                    out = rrdbnet_apply(params, xp[None], scale=scale,
+                                        dtype=dtype_, up_sub_batch=up_sub,
+                                        mask=mask[None])[0]
+                    out = out[:h * scale, :w * scale]
             else:
                 out = model(x[None])[0]
             if bgr:

@@ -34,9 +34,14 @@ Params = Dict[str, Any]
 # --- primitives --------------------------------------------------------
 
 def _layer_norm(x, p, eps=1e-5):
-    mean = x.mean(-1, keepdims=True)
-    var = ((x - mean) ** 2).mean(-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["weight"] + p["bias"]
+    # statistics in fp32 regardless of the compute dtype (torch LayerNorm
+    # accumulates fp32); result back in x.dtype so the matmuls stay bf16
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps) \
+        * p["weight"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def _linear(x, p):
@@ -51,7 +56,12 @@ def _conv3x3(x, p):
 
 
 def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)
+    # fp32 (the parity/oracle path): exact erf GELU, matching torch
+    # nn.GELU. bf16 (the throughput path): tanh approximation — its
+    # ≤3e-3 absolute deviation sits at the bf16 rounding floor of the
+    # surrounding activations, and the exact erf costs 9% of the whole
+    # forward on v5e (BENCH_NOTES r3 ablation).
+    return jax.nn.gelu(x, approximate=x.dtype == jnp.bfloat16)
 
 
 def relative_position_index(window: int) -> np.ndarray:
@@ -286,8 +296,14 @@ class SwinIR:
         x = (x - self.mean) * self.img_range
         x = x.astype(dtype)
 
-        feat = _conv3x3(x, jax.tree.map(lambda a: a.astype(dtype),
-                                        params["conv_first"]))
+        # cast the whole tree to the compute dtype ONCE: fp32 params left
+        # in place silently promote every linear/attention matmul back to
+        # fp32 (the pre-r3 state — see BENCH_NOTES r3 for the measured
+        # cost); LayerNorm still computes its statistics in fp32
+        if dtype != jnp.float32:
+            params = jax.tree.map(lambda a: a.astype(dtype), params)
+
+        feat = _conv3x3(x, params["conv_first"])
         tokens = feat.reshape(b, h * ww, -1)
         tokens = _layer_norm(tokens, params["norm_embed"])
 

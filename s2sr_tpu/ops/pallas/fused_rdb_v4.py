@@ -96,7 +96,7 @@ def _conv9(b9_ref, oh, kernel9, nout, k9):
 
 def _kernel_v4(hparams, x_hbm, wx, w1, w2, w3, w4, b14, b5,
                out_ref, in_a, in_b, b3, acc, sems):
-    img_h, img_w, tile, stage_taps, prefetch = hparams
+    img_h, img_w, tile, stage_taps, prefetch, ablate = hparams
     b, ty, tx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     nty, ntx = pl.num_programs(1), pl.num_programs(2)
     sw = tile + 2 * PAD
@@ -185,21 +185,22 @@ def _kernel_v4(hparams, x_hbm, wx, w1, w2, w3, w4, b14, b5,
         # write the b3 staging; exactly one executes)
         xk_rows = jnp.pad(xk, ((1, 1), (0, 0), (0, 0)))
 
-        @pl.when(is_border)
-        def _(k=k, xk_rows=xk_rows):
-            m = img_mask(0)[:, :, :]
-            masked = jnp.where(m, xk_rows, 0)
-            if stage_taps == 3:
-                _fill3(b3, masked, G)
-            else:
-                _fill9(b3, masked, G, oh)
+        if ablate != "no_fill":   # time-attribution knob: staging copies
+            @pl.when(is_border)
+            def _(k=k, xk_rows=xk_rows):
+                m = img_mask(0)[:, :, :]
+                masked = jnp.where(m, xk_rows, 0)
+                if stage_taps == 3:
+                    _fill3(b3, masked, G)
+                else:
+                    _fill9(b3, masked, G, oh)
 
-        @pl.when(jnp.logical_not(is_border))
-        def _(xk_rows=xk_rows):
-            if stage_taps == 3:
-                _fill3(b3, xk_rows, G)
-            else:
-                _fill9(b3, xk_rows, G, oh)
+            @pl.when(jnp.logical_not(is_border))
+            def _(xk_rows=xk_rows):
+                if stage_taps == 3:
+                    _fill3(b3, xk_rows, G)
+                else:
+                    _fill9(b3, xk_rows, G, oh)
 
         w = stage_ws[k - 1]
         nout = live - G if k < 4 else NF
@@ -207,7 +208,10 @@ def _kernel_v4(hparams, x_hbm, wx, w1, w2, w3, w4, b14, b5,
             contrib = _conv3(b3, oh, w, nout, 3 * G)
         else:
             contrib = _conv9(b3, oh, w, nout, 9 * G)
-        acc[0:oh, :, 0:nout] = acc[0:oh, :, 0:nout] + contrib
+        if ablate == "no_acc":    # time-attribution knob: acc read+add
+            acc[0:oh, :, 0:nout] = contrib
+        else:
+            acc[0:oh, :, 0:nout] = acc[0:oh, :, 0:nout] + contrib
 
     # ---- output --------------------------------------------------------
     y5 = acc[PAD - 1:PAD - 1 + tile, PAD:PAD + tile, 0:NF] + b5[0]
@@ -226,14 +230,20 @@ def _kernel_v4(hparams, x_hbm, wx, w1, w2, w3, w4, b14, b5,
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "tile", "stage_taps",
-                                    "prefetch"))
+                                    "prefetch", "ablate"))
 def rdb_pallas_v4(x: jnp.ndarray, packed, b14, b5, *, interpret=False,
-                  tile=144, stage_taps=3, prefetch=True):
+                  tile=144, stage_taps=3, prefetch=True, ablate=None):
     """One fused delta-form RDB, v4 structure. (B, H, W, 64) → same.
 
     ``packed`` is ``pack_rdb_weights_v2(...)`` output for
     ``stage_taps=3`` or ``pack_rdb_weights_v3`` for 9 — with the wx
     entry always in v2 (per-dy) layout.
+
+    ``ablate`` (time-attribution ONLY — breaks the math): ``"no_fill"``
+    skips the stage-2..5 staging copies; ``"no_acc"`` replaces the
+    accumulator read+add with a plain store. Used by
+    ``scripts/bench_kernels.py`` to decompose where the kernel's time
+    goes (BENCH_NOTES r3).
     """
     bsz, h, w, _ = x.shape
     nty, ntx = _cdiv(h, tile), _cdiv(w, tile)
@@ -246,7 +256,7 @@ def rdb_pallas_v4(x: jnp.ndarray, packed, b14, b5, *, interpret=False,
     stage_lanes = 3 * NF if stage_taps == 3 else 9 * G
 
     kernel = functools.partial(_kernel_v4,
-                               (h, w, tile, stage_taps, prefetch))
+                               (h, w, tile, stage_taps, prefetch, ablate))
     out = pl.pallas_call(
         kernel,
         grid=(bsz, nty, ntx),

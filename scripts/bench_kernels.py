@@ -146,6 +146,22 @@ def main() -> None:
             mixb = (packed2b[0],) + tuple(packed3b2[1:])
             fns["v4t9"] = chain(lambda v: rdb_pallas_v4(
                 v, mixb, b14_2b, b5_2b, tile=args.tile, stage_taps=9))
+    # time-attribution ablations (math intentionally wrong — never gated,
+    # never shipped; they decompose v4's measured time, BENCH_NOTES r3)
+    for abl in ("no_fill", "no_acc"):
+        vname = f"v4_{abl}"
+        if vname in variants:
+            from s2sr_tpu.ops.pallas.fused_rdb_v4 import rdb_pallas_v4
+
+            fns[vname] = chain(lambda v, abl=abl: rdb_pallas_v4(
+                v, packed2b, b14_2b, b5_2b, tile=args.tile, stage_taps=3,
+                ablate=abl))
+    if "v4_serialdma" in variants:
+        from s2sr_tpu.ops.pallas.fused_rdb_v4 import rdb_pallas_v4
+
+        fns["v4_serialdma"] = chain(lambda v: rdb_pallas_v4(
+            v, packed2b, b14_2b, b5_2b, tile=args.tile, stage_taps=3,
+            prefetch=False))
 
     useful = b * h * w * FLOPS_PER_PX_RDB * R
     for name, fn in fns.items():
@@ -153,10 +169,13 @@ def main() -> None:
         out = fn(x)
         _ = np.asarray(out.ravel()[:1])     # relay: readback, not block_until_ready
         compile_s = time.perf_counter() - t_c0
+        # runs are serially dependent (out feeds the next chain) — queue
+        # them all and read back ONCE, so the ~33 ms relay round-trip is
+        # amortised across runs instead of billed per run as chip time
         t0 = time.perf_counter()
         for _ in range(args.runs):
             out = fn(out)
-            _ = np.asarray(out.ravel()[:1])
+        _ = np.asarray(out.ravel()[:1])
         dt = (time.perf_counter() - t0) / args.runs
         print(json.dumps({
             "variant": name, "backend": backend,

@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--modes", default="full,attn_bf16,no_softmax,no_attn")
+    # extra modes: attn_nt (transpose-free einsum layout — exact math,
+    # candidate to ship), gelu_tanh (approx gelu), no_ln (identity
+    # layernorms), no_mlp (skip the MLP) — the last three change the
+    # math and exist only to attribute time
     args = ap.parse_args()
 
     try:
@@ -48,6 +52,46 @@ def main() -> None:
     x = jnp.asarray(rng.random((4, tile, tile, 3)), jnp.float32)
 
     orig_attention = sw._attention
+    orig_gelu = sw._gelu
+    orig_ln = sw._layer_norm
+    orig_block = sw._swin_block
+
+    def attention_nt(xx, p, num_heads, window, bias_idx, mask):
+        """Exact math, transpose-free layouts: qkv stays (bw, n, h, d);
+        scores/context via einsums whose operands never materialise the
+        (bw, h, n, d) transposed copies."""
+        bw, n, c = xx.shape
+        head_dim = c // num_heads
+        qkv = sw._linear(xx, p["qkv"]).reshape(bw, n, 3, num_heads, head_dim)
+        q = qkv[:, :, 0] * (head_dim ** -0.5)
+        k = qkv[:, :, 1]
+        v = qkv[:, :, 2]
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                          preferred_element_type=v.dtype)
+        bias = p["relative_position_bias_table"][bias_idx]
+        attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bw // nw, nw, num_heads, n, n) \
+                + mask[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(bw, num_heads, n, n)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(bw, n, c)
+        return sw._linear(out, p["proj"])
+
+    def block_no_mlp(x, p, h, w, num_heads, window, shift, bias_idx, mask):
+        b = x.shape[0]
+        shortcut = x
+        y = sw._layer_norm(x, p["norm1"]).reshape(b, h, w, -1)
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+        windows = sw.window_partition(y, window)
+        attn = sw._attention(windows, p["attn"], num_heads, window, bias_idx,
+                             mask if shift > 0 else None)
+        y = sw.window_reverse(attn, window, h, w)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        return shortcut + y.reshape(b, h * w, -1)
 
     def make_attention(mode):
         def attention(xx, p, num_heads, window, bias_idx, mask):
@@ -81,8 +125,20 @@ def main() -> None:
         return attention
 
     for mode in args.modes.split(","):
-        sw._attention = orig_attention if mode == "full" \
-            else make_attention(mode)
+        sw._attention = orig_attention
+        sw._gelu = orig_gelu
+        sw._layer_norm = orig_ln
+        sw._swin_block = orig_block
+        if mode in ("attn_bf16", "no_softmax", "no_attn"):
+            sw._attention = make_attention(mode)
+        elif mode == "attn_nt":
+            sw._attention = attention_nt
+        elif mode == "gelu_tanh":
+            sw._gelu = lambda x: jax.nn.gelu(x, approximate=True)
+        elif mode == "no_ln":
+            sw._layer_norm = lambda x, p, eps=1e-5: x
+        elif mode == "no_mlp":
+            sw._swin_block = block_no_mlp
         fwd = jax.jit(lambda p, xx: model.apply(p, xx))
         t0 = time.perf_counter()
         out = fwd(params, x)
