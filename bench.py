@@ -37,7 +37,7 @@ def main() -> None:
     img = synthetic_fields(size=(size, size), seed=0)
 
     engine = SREngine(
-        "realesrgan_x4", weights_dir="models", tile_size=256, tile_pad=10,
+        "realesrgan_x4", weights_dir="models", tile_size=256, tile_pad=4,
         batch_size=16, dtype="bfloat16",
     )
 

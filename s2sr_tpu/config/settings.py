@@ -61,7 +61,13 @@ class Settings(BaseModel):
 
     # --- TPU execution knobs (new) ---
     sr_tile_size: int = 256      # halo-tiling grid pitch (ref tile_size=256)
-    sr_tile_pad: int = 10        # halo width (ref tile_pad=10)
+    # Halo width. The reference uses tile_pad=10
+    # (cnn_super_resolution.py:172); 4 is measured byte-identical to the
+    # exact whole-image forward on the full 23-block model (max float
+    # deviation 0.0017 LSB on uniform noise and max-contrast stripes —
+    # at the bf16 rounding floor of the pipeline itself) and lifts
+    # 1024² throughput 1.348 → 1.469 MPix/s (BENCH_NOTES r3).
+    sr_tile_pad: int = 4
     sr_batch_size: int = 16      # tiles per device batch
     sr_dtype: str = "bfloat16"   # compute dtype for the SR model
     mesh_shape: str = ""         # e.g. "dp=4,sp=2"; empty = all devices on dp

@@ -64,7 +64,13 @@ class SREngine:
         model_name: str = "realesrgan_x4",
         weights_dir: Path | str = "models",
         tile_size: int = 256,
-        tile_pad: int = 10,
+        # Halo width. The reference wrapper uses 10
+        # (cnn_super_resolution.py:172); 4 is byte-identical to the
+        # exact whole-image forward on the full 23-block model (max
+        # float deviation 0.0017 LSB — the bf16 noise floor; measured
+        # on uniform noise + max-contrast stripes on v5e, BENCH_NOTES
+        # r3) and ~9% faster end-to-end. SwinIR still forces ≥16.
+        tile_pad: int = 4,
         batch_size: int = 16,
         dtype: str = "bfloat16",
         bgr_order: bool = True,
@@ -405,10 +411,18 @@ def get_engine(model_name: str = "realesrgan_x4", **kwargs) -> SREngine:
     ``Settings.mesh_shape`` is configured (e.g. ``"dp=4"``), the halo
     window batch is sharded over the device mesh.
     """
-    if "mesh" not in kwargs:
-        from ..config import get_settings
+    from ..config import get_settings
 
-        spec = get_settings().mesh_shape
+    settings = get_settings()
+    # Settings-driven execution knobs (only when the caller didn't pass
+    # them): resolved BEFORE the cache key so equal effective configs
+    # share one engine.
+    kwargs.setdefault("tile_size", settings.sr_tile_size)
+    kwargs.setdefault("tile_pad", settings.sr_tile_pad)
+    kwargs.setdefault("batch_size", settings.sr_batch_size)
+    kwargs.setdefault("dtype", settings.sr_dtype)
+    if "mesh" not in kwargs:
+        spec = settings.mesh_shape
         if spec:
             from ..parallel.mesh import build_mesh
 

@@ -319,3 +319,64 @@ def test_enhance_serving_exact_reference_job_shape(rng, tmp_path):
     served = engine.enhance_serving(img)
     assert served.shape == (1728, 2304, 3)
     np.testing.assert_array_equal(served, engine.enhance(img))
+
+
+def test_default_halo_pad4_is_exact(rng, tmp_path):
+    """The production halo default is pad 4 (BENCH_NOTES r3: byte-equal
+    to the exact whole-image forward with a 0.0017-LSB float margin on
+    the full model; +9% end-to-end over the reference's pad 10). Pin
+    (a) the default, (b) byte-equality of the tiled pad-4 serving path
+    vs the exact per-shape forward on uniform noise — the worst case
+    for halo-context truncation."""
+    from s2sr_tpu.config import get_settings
+    from s2sr_tpu.models.engine import SREngine
+    from s2sr_tpu.models.weights import convert_rrdbnet_state_dict, save_params
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_rrdbnet import make_state_dict
+
+    assert get_settings().sr_tile_pad == 4
+
+    sd = make_state_dict()
+    params = convert_rrdbnet_state_dict(sd)
+    weights_dir = tmp_path / "w"
+    save_params(params, weights_dir / "realesrgan_x4.npz")
+
+    engine = SREngine("realesrgan_x4", weights_dir=weights_dir,
+                      dtype="float32", tile_size=128, batch_size=4)
+    assert engine.tile_pad == 4          # ctor default matches settings
+
+    img = rng.integers(0, 256, (280, 270, 3)).astype(np.uint8)  # tiled
+    np.testing.assert_array_equal(engine.enhance_serving(img),
+                                  engine.enhance(img))
+
+
+def test_get_engine_reads_settings_knobs(tmp_path, monkeypatch):
+    """Settings sr_tile_* / sr_dtype knobs reach engines built through
+    get_engine (they were silently unused before r3)."""
+    from s2sr_tpu.config import settings as settings_mod
+    from s2sr_tpu.models import engine as engine_mod
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_rrdbnet import make_state_dict
+    from s2sr_tpu.models.weights import convert_rrdbnet_state_dict, save_params
+
+    sd = make_state_dict(nb=1)
+    params = convert_rrdbnet_state_dict(sd)
+    weights_dir = tmp_path / "w"
+    save_params(params, weights_dir / "realesrgan_x4.npz")
+
+    cfg = settings_mod.Settings(sr_tile_size=96, sr_tile_pad=6,
+                                sr_batch_size=2, sr_dtype="float32",
+                                weights_dir=str(weights_dir))
+    monkeypatch.setattr(engine_mod, "get_settings", lambda: cfg,
+                        raising=False)
+    monkeypatch.setattr("s2sr_tpu.config.get_settings", lambda: cfg)
+    engine_mod._ENGINE_CACHE.clear()
+    try:
+        eng = engine_mod.get_engine("realesrgan_x4",
+                                    weights_dir=str(weights_dir))
+        assert (eng.tile_size, eng.tile_pad, eng.batch_size) == (96, 6, 2)
+        assert eng.dtype.__name__ == "float32"
+    finally:
+        engine_mod._ENGINE_CACHE.clear()
