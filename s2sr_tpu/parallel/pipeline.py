@@ -25,9 +25,17 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 try:
-    from jax import shard_map
-except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map as _shard_map
+
+    def _shmap(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+except ImportError:  # pre-0.8 jax: experimental module, check_rep kwarg
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    def _shmap(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_rep=False)
 
 from ..models.rrdbnet import _rrdb
 
@@ -74,7 +82,10 @@ def pipeline_trunk_apply(
     num_stages = mesh.shape["pp"]
     b = feat.shape[0]
     if num_micro is None:
-        num_micro = min(b, num_stages)
+        # largest divisor of the batch ≤ the stage count (fills the
+        # pipeline when possible; always valid — 1 divides everything)
+        num_micro = max(d for d in range(1, min(b, num_stages) + 1)
+                        if b % d == 0)
     if b % num_micro:
         raise ValueError(f"batch {b} not divisible by num_micro {num_micro}")
     staged, counts = _pad_body_to_stages(body_params, num_stages)
@@ -125,11 +136,10 @@ def pipeline_trunk_apply(
         keep = (idx == num_stages - 1).astype(outbuf.dtype)
         return jax.lax.psum(outbuf * keep, "pp")
 
-    out = shard_map(
+    out = _shmap(
         spmd, mesh=mesh,
         in_specs=(P("pp"), P(), P()),
         out_specs=P(),
-        check_vma=False,
     )(staged, micro, counts)
     return out.reshape(feat.shape)
 

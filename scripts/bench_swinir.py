@@ -27,13 +27,8 @@ import numpy as np
 def bench_engine(args) -> None:
     """Production-path numbers (the r2 0.249 figure measured a raw
     window batch and understated serving: ≤512² images run the exact
-    whole-image forward, not windows)."""
-    try:
-        from s2sr_tpu.utils.jax_cache import enable_compilation_cache
-
-        enable_compilation_cache()
-    except Exception:
-        pass
+    whole-image forward, not windows). SREngine enables the
+    compilation cache itself."""
     from s2sr_tpu.models.engine import SREngine
 
     engine = SREngine("swinir_x4", weights_dir="models", dtype="bfloat16")

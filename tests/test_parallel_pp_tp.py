@@ -46,8 +46,9 @@ def test_pipeline_trunk_matches_sequential(rng):
 
 
 def test_pipeline_ragged_blocks_pad_identity(rng):
-    """5 blocks over 4 stages: the 3 zero-padded blocks must be exact
-    identities (rdb(x)*0.2 + x with all-zero kernels/biases)."""
+    """5 blocks over 4 stages: the 3 padded slots must be positionally
+    masked out (a zero-weight RRDB is x*0.2+x, NOT an identity — the
+    where(k < count) mask in the stage loop is load-bearing)."""
     net = RRDBNet(num_feat=16, num_block=5, num_grow_ch=8, scale=2)
     params = net.init(jax.random.PRNGKey(1))
     feat = jnp.asarray(rng.random((2, 8, 8, 16)), jnp.float32)
