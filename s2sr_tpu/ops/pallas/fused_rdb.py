@@ -232,7 +232,7 @@ def rdb_pallas(x: jnp.ndarray, packed, b14, b5, *, interpret=False):
         kernel,
         grid=(bsz, nty, ntx),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),           # x (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),           # x (HBM)
             pl.BlockSpec(memory_space=pltpu.VMEM),          # wx
             pl.BlockSpec(memory_space=pltpu.VMEM),          # wg2
             pl.BlockSpec(memory_space=pltpu.VMEM),          # wg3
@@ -518,7 +518,7 @@ def rdb_pallas_v2(x: jnp.ndarray, packed, b14, b5, *, interpret=False,
     out = pl.pallas_call(
         kernel,
         grid=(bsz, nty, ntx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec(
             (1, tile, tile, NF), lambda b, i, j: (b, i, j, 0),
@@ -718,7 +718,7 @@ def rdb_pallas_v3(x: jnp.ndarray, packed, b14, b5, *, interpret=False,
     out = pl.pallas_call(
         kernel,
         grid=(bsz, nty, ntx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec(
             (1, tile, tile, NF), lambda b, i, j: (b, i, j, 0),

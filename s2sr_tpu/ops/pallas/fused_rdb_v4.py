@@ -260,7 +260,7 @@ def rdb_pallas_v4(x: jnp.ndarray, packed, b14, b5, *, interpret=False,
     out = pl.pallas_call(
         kernel,
         grid=(bsz, nty, ntx),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
         out_specs=pl.BlockSpec(
             (1, tile, tile, NF), lambda b, i, j: (b, i, j, 0),

@@ -91,6 +91,9 @@ def main() -> None:
     orig_gelu = sw._gelu
     orig_ln = sw._layer_norm
     orig_block = sw._swin_block
+    orig_partition = sw.window_partition
+    orig_reverse = sw.window_reverse
+    orig_rstb = sw._rstb
 
     def attention_nt(xx, p, num_heads, window, bias_idx, mask):
         """Exact math, transpose-free layouts: qkv stays (bw, n, h, d);
@@ -129,6 +132,66 @@ def main() -> None:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         return shortcut + y.reshape(b, h * w, -1)
 
+    def partition_notranspose(x, w):
+        """Shape-correct, math-wrong window grouping WITHOUT the
+        6-D transpose (groups each contiguous w²-pixel run as a
+        'window') — times the partition/reverse relayout cost."""
+        return x.reshape(-1, w * w, x.shape[-1])
+
+    def reverse_notranspose(x, w, h, ww):
+        b = x.shape[0] // ((h // w) * (ww // w))
+        return x.reshape(b, h, ww, -1)
+
+    def rstb_noconv(x, p, h, w, depths, num_heads, window, bias_idx, mask):
+        y = x
+        for i in range(depths):
+            shift = 0 if i % 2 == 0 else window // 2
+            y = sw._swin_block(y, p["blocks"][i], h, w, num_heads, window,
+                               shift, bias_idx, mask)
+        return x + y          # skip the trailing 180->180 conv3x3
+
+    def block_no_roll(x, p, h, w, num_heads, window, shift, bias_idx, mask):
+        b = x.shape[0]
+        shortcut = x
+        y = sw._layer_norm(x, p["norm1"]).reshape(b, h, w, -1)
+        windows = sw.window_partition(y, window)   # rolls skipped
+        attn = sw._attention(windows, p["attn"], num_heads, window,
+                             bias_idx, None)
+        y = sw.window_reverse(attn, window, h, w)
+        x = shortcut + y.reshape(b, h * w, -1)
+        y = sw._layer_norm(x, p["norm2"])
+        y = sw._linear(sw._gelu(sw._linear(y, p["mlp"]["fc1"])),
+                       p["mlp"]["fc2"])
+        return x + y
+
+    def block_roll_concat(x, p, h, w, num_heads, window, shift, bias_idx,
+                          mask):
+        """Exact math: cyclic shift lowered as slice+concat instead of
+        jnp.roll (candidate to ship if faster)."""
+        def shift2(y, sh, sw_):
+            sh %= y.shape[1]
+            sw_ %= y.shape[2]
+            y = jnp.concatenate([y[:, sh:], y[:, :sh]], axis=1)
+            y = jnp.concatenate([y[:, :, sw_:], y[:, :, :sw_]], axis=2)
+            return y
+
+        b = x.shape[0]
+        shortcut = x
+        y = sw._layer_norm(x, p["norm1"]).reshape(b, h, w, -1)
+        if shift > 0:
+            y = shift2(y, shift, shift)
+        windows = sw.window_partition(y, window)
+        attn = sw._attention(windows, p["attn"], num_heads, window, bias_idx,
+                             mask if shift > 0 else None)
+        y = sw.window_reverse(attn, window, h, w)
+        if shift > 0:
+            y = shift2(y, h - shift, w - shift)
+        x = shortcut + y.reshape(b, h * w, -1)
+        y = sw._layer_norm(x, p["norm2"])
+        y = sw._linear(sw._gelu(sw._linear(y, p["mlp"]["fc1"])),
+                       p["mlp"]["fc2"])
+        return x + y
+
     def make_attention(mode):
         def attention(xx, p, num_heads, window, bias_idx, mask):
             bw, n, c = xx.shape
@@ -165,6 +228,9 @@ def main() -> None:
         sw._gelu = orig_gelu
         sw._layer_norm = orig_ln
         sw._swin_block = orig_block
+        sw.window_partition = orig_partition
+        sw.window_reverse = orig_reverse
+        sw._rstb = orig_rstb
         if mode in ("attn_bf16", "no_softmax", "no_attn"):
             sw._attention = make_attention(mode)
         elif mode == "attn_nt":
@@ -175,6 +241,15 @@ def main() -> None:
             sw._layer_norm = lambda x, p, eps=1e-5: x
         elif mode == "no_mlp":
             sw._swin_block = block_no_mlp
+        elif mode == "no_partition":
+            sw.window_partition = partition_notranspose
+            sw.window_reverse = reverse_notranspose
+        elif mode == "no_roll":
+            sw._swin_block = block_no_roll
+        elif mode == "no_rstb_conv":
+            sw._rstb = rstb_noconv
+        elif mode == "roll_concat":
+            sw._swin_block = block_roll_concat
         fwd = jax.jit(lambda p, xx: model.apply(p, xx))
         t0 = time.perf_counter()
         out = fwd(params, x)
