@@ -36,9 +36,17 @@ class TrainConfig:
     learning_rate: float = 1e-4
     charbonnier_eps: float = 0.0     # 0 → plain L1
     dtype: str = "bfloat16"
+    # >0: cosine-decay the LR to ~0 over this many steps (from-scratch
+    # runs converge past the bicubic baseline only with decay; pure
+    # fine-tunes can leave it 0 for a constant LR)
+    lr_decay_steps: int = 0
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    if config.lr_decay_steps > 0:
+        sched = optax.cosine_decay_schedule(
+            config.learning_rate, config.lr_decay_steps, alpha=0.02)
+        return optax.adam(sched)
     return optax.adam(config.learning_rate)
 
 

@@ -1,0 +1,140 @@
+"""int8 MXU probe: is quantized inference worth building on v5e?
+
+v5e's MXU advertises 2x int8 throughput vs bf16 (394 vs 197 TOPS).
+This probes whether XLA actually reaches it through this relay for the
+RRDB-shaped ops before any quantized-engine work is committed:
+
+1. chained int8xint8->int32 matmuls at RDB shapes vs the same in bf16,
+2. an int8 3x3 conv (NHWC) vs bf16 at the halo-window shape.
+
+Differential timing (two repeat counts) cancels the relay round-trip,
+same method as scripts/bench_mxu.py.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _time_chain(make_fn, reps_lo=32, reps_hi=256, runs=3):
+    fn_lo = jax.jit(partial(make_fn, reps=reps_lo))
+    fn_hi = jax.jit(partial(make_fn, reps=reps_hi))
+    outs = [np.asarray(fn_lo().ravel()[:1]), np.asarray(fn_hi().ravel()[:1])]
+    ts = []
+    for fn, reps in ((fn_lo, reps_lo), (fn_hi, reps_hi)):
+        t0 = time.perf_counter()
+        rs = [fn() for _ in range(runs)]
+        for r in rs:
+            np.asarray(r.ravel()[:1])
+        ts.append((time.perf_counter() - t0) / runs)
+    del outs
+    return (ts[1] - ts[0]) / (reps_hi - reps_lo)
+
+
+def bench_matmul(m: int, k: int, n: int) -> dict:
+    rng = np.random.default_rng(0)
+    a8 = jnp.asarray(rng.integers(-127, 128, (m, k), np.int8))
+    b8 = jnp.asarray(rng.integers(-127, 128, (k, n), np.int8))
+    ab = a8.astype(jnp.bfloat16)
+    bb = b8.astype(jnp.bfloat16)
+
+    # Each iteration's LHS depends on the carry (a broadcast VPU add,
+    # negligible vs the dot) so XLA's while-loop invariant code motion
+    # cannot hoist the dot out of the loop — same reason bench_mxu.py
+    # chains through the accumulator.
+    def chain_i8(reps: int):
+        def body(i, acc):
+            lhs = a8 + (acc[0, 0] % 2).astype(jnp.int8)
+            out = jax.lax.dot(lhs, b8,
+                              preferred_element_type=jnp.int32)
+            return out[:1, :1]
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros((1, 1), jnp.int32))
+
+    def chain_bf(reps: int):
+        def body(i, acc):
+            lhs = ab + (acc[0, 0] % 2.0).astype(jnp.bfloat16)
+            out = jax.lax.dot(lhs, bb,
+                              preferred_element_type=jnp.float32)
+            return out[:1, :1]
+        return jax.lax.fori_loop(0, reps, body,
+                                 jnp.zeros((1, 1), jnp.float32))
+
+    flops = 2 * m * k * n
+    s_i8 = _time_chain(chain_i8)
+    s_bf = _time_chain(chain_bf)
+    return {"case": f"dot m{m} k{k} n{n}",
+            "int8_tops": round(flops / s_i8 / 1e12, 1),
+            "bf16_tfs": round(flops / s_bf / 1e12, 1),
+            "speedup": round(s_bf / s_i8, 2)}
+
+
+def bench_conv(b: int, hw: int, cin: int, cout: int) -> dict:
+    rng = np.random.default_rng(0)
+    x8 = jnp.asarray(rng.integers(-127, 128, (b, hw, hw, cin), np.int8))
+    k8 = jnp.asarray(rng.integers(-127, 128, (3, 3, cin, cout), np.int8))
+    xb = x8.astype(jnp.bfloat16)
+    kb = k8.astype(jnp.bfloat16)
+    dims = ("NHWC", "HWIO", "NHWC")
+
+    # carry-dependent input perturbation to defeat LICM (see bench_matmul)
+    def chain_i8(reps: int):
+        def body(i, acc):
+            xs = x8 + (acc[0, 0, 0, 0] % 2).astype(jnp.int8)
+            out = jax.lax.conv_general_dilated(
+                xs, k8, (1, 1), "SAME", dimension_numbers=dims,
+                preferred_element_type=jnp.int32)
+            return out[:1, :1, :1, :1]
+        return jax.lax.fori_loop(0, reps, body,
+                                 jnp.zeros((1, 1, 1, 1), jnp.int32))
+
+    def chain_bf(reps: int):
+        def body(i, acc):
+            xs = xb + (acc[0, 0, 0, 0] % 2.0).astype(jnp.bfloat16)
+            out = jax.lax.conv_general_dilated(
+                xs, kb, (1, 1), "SAME", dimension_numbers=dims,
+                preferred_element_type=jnp.float32)
+            return out[:1, :1, :1, :1]
+        return jax.lax.fori_loop(0, reps, body,
+                                 jnp.zeros((1, 1, 1, 1), jnp.float32))
+
+    flops = 2 * b * hw * hw * 9 * cin * cout
+    s_i8 = _time_chain(chain_i8, reps_lo=8, reps_hi=64)
+    s_bf = _time_chain(chain_bf, reps_lo=8, reps_hi=64)
+    return {"case": f"conv3x3 b{b} {hw}^2 {cin}->{cout}",
+            "int8_tops": round(flops / s_i8 / 1e12, 1),
+            "bf16_tfs": round(flops / s_bf / 1e12, 1),
+            "speedup": round(s_bf / s_i8, 2)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--conv-only", action="store_true")
+    args = ap.parse_args()
+    try:
+        from s2sr_tpu.utils.jax_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
+    import json
+
+    if not args.conv_only:
+        for m, k, n in ((27840, 128, 128), (27840, 192, 192),
+                        (27840, 96, 160), (27840, 288, 128)):
+            print(json.dumps(bench_matmul(m, k, n)), flush=True)
+    for b, hw, cin, cout in ((16, 264, 64, 64), (16, 264, 96, 32),
+                             (16, 264, 192, 64)):
+        print(json.dumps(bench_conv(b, hw, cin, cout)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

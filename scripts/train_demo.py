@@ -1,0 +1,210 @@
+"""On-hardware training convergence demo: loss ↓ + PSNR > bicubic.
+
+Every recorded throughput number in BENCH_NOTES runs random-init
+weights (no egress to fetch released checkpoints), so nothing yet
+demonstrates that the *training* subsystem actually improves a model on
+this hardware. This script closes that within the environment's limits:
+
+1. L1 phase — fine-tune a small RRDBNet (`training/train.py`) on
+   synthetic-fields HR/LR pairs (the same deterministic fixture
+   generator the offline pipeline uses, area-×4 degradation) via the
+   real `PairSampler`+`prefetch` input pipeline.
+2. GAN phase — a short second-stage run of `training/gan.py`
+   (relativistic discriminator + perceptual) on top of the L1 weights.
+3. Held-out eval — PSNR/SSIM on unseen scenes vs the bicubic-upsample
+   baseline, at init / after L1 / after GAN.
+
+Writes one JSON artifact (default TRAIN_DEMO.json) with the loss
+curve, eval table and steady-state step rate. Mirrors the training
+recipe the reference's weights were produced with upstream (Real-ESRGAN
+stage 1 = L1, stage 2 = GAN; the reference itself only serves frozen
+weights — cnn_super_resolution.py:205-211).
+
+Axon-relay quirks honoured: readbacks are amortised (losses stay on
+device until the end; steady-state rate is measured with a single
+trailing readback).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def area_down(hr: np.ndarray, scale: int) -> np.ndarray:
+    h, w, c = hr.shape
+    return hr.reshape(h // scale, scale, w // scale, scale, c).mean((1, 3))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--steps", type=int, default=2500, help="L1 steps")
+    ap.add_argument("--gan-steps", type=int, default=40)
+    ap.add_argument("--pool", type=int, default=24,
+                    help="pre-generated HR training scenes (0 = generate "
+                         "a fresh scene per sample — host-bound on 1 core)")
+    ap.add_argument("--gan-weight", type=float, default=0.02)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--crop", type=int, default=48, help="LR crop size")
+    ap.add_argument("--feat", type=int, default=32)
+    ap.add_argument("--blocks", type=int, default=4)
+    ap.add_argument("--grow", type=int, default=16)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--eval-size", type=int, default=192,
+                    help="held-out LR eval size (HR = 4x)")
+    ap.add_argument("--eval-scenes", type=int, default=3)
+    ap.add_argument("--out", default="TRAIN_DEMO.json")
+    ap.add_argument("--cpu", action="store_true", help="CPU smoke mode")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from s2sr_tpu.fetch.synthetic import synthetic_fields
+    from s2sr_tpu.models.rrdbnet import rrdbnet_apply
+    from s2sr_tpu.training.data import PairSampler, prefetch
+    from s2sr_tpu.training.gan import (GanConfig, UNetDiscriminator,
+                                       make_gan_train_step)
+    from s2sr_tpu.training.train import (TrainConfig, init_training,
+                                         make_train_step)
+    from s2sr_tpu.utils.metrics import psnr, ssim
+
+    platform = jax.devices()[0].platform
+    print(f"device: {jax.devices()[0]}")
+
+    config = TrainConfig(num_feat=args.feat, num_block=args.blocks,
+                         num_grow_ch=args.grow, learning_rate=args.lr,
+                         lr_decay_steps=args.steps)
+    params, opt_state = init_training(config, seed=0)
+    step_fn, _ = make_train_step(config)
+
+    # --- held-out eval scenes (seeds far outside the sampler's range) --
+    scale = config.scale
+    eval_pairs = []
+    for i in range(args.eval_scenes):
+        hr_u8 = synthetic_fields(
+            size=(args.eval_size * scale,) * 2, seed=100_000 + i)
+        hr = hr_u8.astype(np.float32) / 255.0
+        eval_pairs.append((area_down(hr, scale), hr_u8))
+
+    apply_jit = jax.jit(
+        lambda p, x: rrdbnet_apply(p, x, scale=scale, dtype=jnp.bfloat16))
+
+    def to_u8(x: np.ndarray) -> np.ndarray:
+        return np.clip(np.round(x * 255.0), 0, 255).astype(np.uint8)
+
+    def evaluate(p) -> dict:
+        ps, ss = [], []
+        for lr_img, hr_u8 in eval_pairs:
+            sr = np.asarray(apply_jit(p, jnp.asarray(lr_img[None])))[0]
+            sr_u8 = to_u8(sr)
+            ps.append(psnr(sr_u8, hr_u8))
+            ss.append(ssim(sr_u8, hr_u8))
+        return {"psnr": float(np.mean(ps)), "ssim": float(np.mean(ss))}
+
+    def bicubic_eval() -> dict:
+        import cv2
+
+        ps, ss = [], []
+        for lr_img, hr_u8 in eval_pairs:
+            up = cv2.resize(to_u8(lr_img),
+                            (hr_u8.shape[1], hr_u8.shape[0]),
+                            interpolation=cv2.INTER_CUBIC)
+            ps.append(psnr(up, hr_u8))
+            ss.append(ssim(up, hr_u8))
+        return {"psnr": float(np.mean(ps)), "ssim": float(np.mean(ss))}
+
+    baseline = bicubic_eval()
+    at_init = evaluate(params)
+    print(f"bicubic baseline: {baseline}")
+    print(f"model at init:    {at_init}")
+
+    # --- L1 phase -------------------------------------------------------
+    # pre-generate the HR pool once: per-sample synthetic_fields() costs
+    # ~1 s/batch of host time on the 1-core box and starves the device
+    pool = [synthetic_fields(size=(args.crop * scale * 2,) * 2, seed=1 + i)
+            for i in range(args.pool)] or None
+    sampler = PairSampler(hr_images=pool, crop_lr=args.crop, scale=scale,
+                          batch_size=args.batch, seed=1)
+    losses = []
+    t0 = time.monotonic()
+    t_steady = None
+    for i, (lr_b, hr_b) in enumerate(prefetch(sampler, args.steps)):
+        params, opt_state, loss = step_fn(params, opt_state, lr_b, hr_b)
+        losses.append(loss)          # device scalars; read back at the end
+        if i == 0:
+            np.asarray(loss)         # force: compile once, then time
+            t_steady = time.monotonic()
+    np.asarray(losses[-1])           # drain the device queue
+    t1 = time.monotonic()
+    loss_np = np.asarray([float(x) for x in losses])
+    steady_rate = (args.steps - 1) / (t1 - t_steady) if args.steps > 1 else 0.0
+    print(f"L1: {args.steps} steps, loss {loss_np[0]:.4f} -> "
+          f"{loss_np[-1]:.4f} (min {loss_np.min():.4f}), "
+          f"{steady_rate:.1f} steps/s steady (compile {t_steady - t0:.0f}s)")
+
+    after_l1 = evaluate(params)
+    print(f"after L1:         {after_l1}")
+
+    # --- GAN phase ------------------------------------------------------
+    gan_metrics = []
+    after_gan = None
+    if args.gan_steps > 0:
+        gcfg = GanConfig(base=config, gan_weight=args.gan_weight)
+        gan_step, disc, g_tx, d_tx = make_gan_train_step(gcfg)
+        d_params = UNetDiscriminator(gcfg.num_feat_d).init(
+            jax.random.PRNGKey(7))
+        g_opt = g_tx.init(params)
+        d_opt = d_tx.init(d_params)
+        mlist = []
+        for lr_b, hr_b in prefetch(sampler, args.gan_steps):
+            params, d_params, g_opt, d_opt, m = gan_step(
+                params, d_params, g_opt, d_opt, lr_b, hr_b)
+            mlist.append(m)
+        gan_metrics = [
+            {k: float(m[k]) for k in ("g_loss", "d_loss", "pixel", "adv")}
+            for m in mlist]
+        print(f"GAN: {args.gan_steps} steps, "
+              f"g_loss {gan_metrics[0]['g_loss']:.4f} -> "
+              f"{gan_metrics[-1]['g_loss']:.4f}, "
+              f"d_loss {gan_metrics[-1]['d_loss']:.4f}, "
+              f"pixel {gan_metrics[-1]['pixel']:.4f}")
+        after_gan = evaluate(params)
+        print(f"after GAN:        {after_gan}")
+
+    report = {
+        "platform": platform,
+        "config": {"feat": args.feat, "blocks": args.blocks,
+                   "grow": args.grow, "scale": scale, "lr": args.lr,
+                   "batch": args.batch, "crop_lr": args.crop,
+                   "l1_steps": args.steps, "gan_steps": args.gan_steps,
+                   "pool": args.pool, "gan_weight": args.gan_weight,
+                   "eval_lr_size": args.eval_size,
+                   "eval_scenes": args.eval_scenes},
+        "bicubic": baseline,
+        "model_init": at_init,
+        "after_l1": after_l1,
+        "after_gan": after_gan,
+        "l1_loss_first": float(loss_np[0]),
+        "l1_loss_last": float(loss_np[-1]),
+        "l1_loss_curve_every25": [float(x) for x in loss_np[::25]],
+        "l1_steps_per_s_steady": round(steady_rate, 2),
+        "gan_metrics_every10": gan_metrics[::10],
+        "beats_bicubic": bool(after_l1["psnr"] > baseline["psnr"]),
+    }
+    Path(args.out).write_text(json.dumps(report, indent=1))
+    print(f"wrote {args.out}; beats_bicubic={report['beats_bicubic']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,28 @@ def test_unsharded_loss_decreases():
     assert all(np.isfinite(losses))
 
 
+def test_lr_decay_schedule():
+    """lr_decay_steps wires a cosine schedule through make_optimizer:
+    the step still trains, and the schedule actually decays."""
+    import optax
+
+    cfg = TrainConfig(num_feat=8, num_block=1, num_grow_ch=4, scale=2,
+                      dtype="float32", learning_rate=1e-3,
+                      lr_decay_steps=50)
+    params, opt_state = init_training(cfg)
+    step, _ = make_train_step(cfg)
+    lr, hr = _data()
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, lr, hr)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    sched = optax.cosine_decay_schedule(cfg.learning_rate,
+                                        cfg.lr_decay_steps, alpha=0.02)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(50)) == pytest.approx(0.02e-3, rel=1e-3)
+
+
 @pytest.mark.parametrize("mesh_shape", [("dp", 8), ("dp_sp", None)])
 def test_sharded_matches_unsharded(mesh_shape):
     devices = jax.devices()
