@@ -8,7 +8,14 @@ RRDB-shaped ops before any quantized-engine work is committed:
 2. an int8 3x3 conv (NHWC) vs bf16 at the halo-window shape.
 
 Differential timing (two repeat counts) cancels the relay round-trip,
-same method as scripts/bench_mxu.py.
+same method as scripts/bench_mxu.py. Two traps the first draft of this
+script hit, kept here as warnings:
+- operands must be jit ARGUMENTS — closed-over arrays become HLO
+  constants, the chain constant-folds at compile time (30-min compiles,
+  an HTTP 413 from shipping a 428 MB constant to the compile relay, and
+  negative "rates"),
+- each iteration must DEPEND on the carry or while-loop invariant code
+  motion hoists the op out of the loop.
 """
 from __future__ import annotations
 
@@ -25,22 +32,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _time_chain(make_fn, reps_lo=32, reps_hi=256, runs=3):
-    fn_lo = jax.jit(partial(make_fn, reps=reps_lo))
-    fn_hi = jax.jit(partial(make_fn, reps=reps_hi))
-    outs = [np.asarray(fn_lo().ravel()[:1]), np.asarray(fn_hi().ravel()[:1])]
-    ts = []
-    for fn, reps in ((fn_lo, reps_lo), (fn_hi, reps_hi)):
-        t0 = time.perf_counter()
-        rs = [fn() for _ in range(runs)]
-        for r in rs:
-            np.asarray(r.ravel()[:1])
-        ts.append((time.perf_counter() - t0) / runs)
-    del outs
-    return (ts[1] - ts[0]) / (reps_hi - reps_lo)
+def _time_chain(make_fn, operands, reps_lo=1024, reps_hi=8192, runs=4):
+    """Median-of-trials differential: chains must be long enough (≥0.3 s
+    at the hi count) that relay dispatch variance (~tens-hundreds of ms
+    per trial) doesn't swamp the signal — short chains here produced
+    negative 'rates'."""
+    fn_lo = jax.jit(partial(make_fn, reps_lo))
+    fn_hi = jax.jit(partial(make_fn, reps_hi))
+    for fn in (fn_lo, fn_hi):                      # compile + warm
+        np.asarray(fn(*operands).ravel()[:1])
+    med = []
+    for fn in (fn_lo, fn_hi):
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            np.asarray(fn(*operands).ravel()[:1])
+            samples.append(time.perf_counter() - t0)
+        med.append(sorted(samples)[len(samples) // 2])
+    return (med[1] - med[0]) / (reps_hi - reps_lo)
 
 
-def bench_matmul(m: int, k: int, n: int) -> dict:
+def bench_matmul(m: int, k: int, n: int, runs: int) -> dict:
     rng = np.random.default_rng(0)
     a8 = jnp.asarray(rng.integers(-127, 128, (m, k), np.int8))
     b8 = jnp.asarray(rng.integers(-127, 128, (k, n), np.int8))
@@ -51,33 +63,31 @@ def bench_matmul(m: int, k: int, n: int) -> dict:
     # negligible vs the dot) so XLA's while-loop invariant code motion
     # cannot hoist the dot out of the loop — same reason bench_mxu.py
     # chains through the accumulator.
-    def chain_i8(reps: int):
+    def chain_i8(reps, a, b):
         def body(i, acc):
-            lhs = a8 + (acc[0, 0] % 2).astype(jnp.int8)
-            out = jax.lax.dot(lhs, b8,
-                              preferred_element_type=jnp.int32)
-            return out[:1, :1]
+            lhs = a + (acc[0, 0] % 2).astype(jnp.int8)
+            return jax.lax.dot(lhs, b,
+                               preferred_element_type=jnp.int32)[:1, :1]
         return jax.lax.fori_loop(0, reps, body, jnp.zeros((1, 1), jnp.int32))
 
-    def chain_bf(reps: int):
+    def chain_bf(reps, a, b):
         def body(i, acc):
-            lhs = ab + (acc[0, 0] % 2.0).astype(jnp.bfloat16)
-            out = jax.lax.dot(lhs, bb,
-                              preferred_element_type=jnp.float32)
-            return out[:1, :1]
+            lhs = a + (acc[0, 0] % 2.0).astype(jnp.bfloat16)
+            return jax.lax.dot(lhs, b,
+                               preferred_element_type=jnp.float32)[:1, :1]
         return jax.lax.fori_loop(0, reps, body,
                                  jnp.zeros((1, 1), jnp.float32))
 
     flops = 2 * m * k * n
-    s_i8 = _time_chain(chain_i8)
-    s_bf = _time_chain(chain_bf)
+    s_i8 = _time_chain(chain_i8, (a8, b8), runs=runs)
+    s_bf = _time_chain(chain_bf, (ab, bb), runs=runs)
     return {"case": f"dot m{m} k{k} n{n}",
             "int8_tops": round(flops / s_i8 / 1e12, 1),
             "bf16_tfs": round(flops / s_bf / 1e12, 1),
             "speedup": round(s_bf / s_i8, 2)}
 
 
-def bench_conv(b: int, hw: int, cin: int, cout: int) -> dict:
+def bench_conv(b: int, hw: int, cin: int, cout: int, runs: int) -> dict:
     rng = np.random.default_rng(0)
     x8 = jnp.asarray(rng.integers(-127, 128, (b, hw, hw, cin), np.int8))
     k8 = jnp.asarray(rng.integers(-127, 128, (3, 3, cin, cout), np.int8))
@@ -86,29 +96,31 @@ def bench_conv(b: int, hw: int, cin: int, cout: int) -> dict:
     dims = ("NHWC", "HWIO", "NHWC")
 
     # carry-dependent input perturbation to defeat LICM (see bench_matmul)
-    def chain_i8(reps: int):
+    def chain_i8(reps, x, k):
         def body(i, acc):
-            xs = x8 + (acc[0, 0, 0, 0] % 2).astype(jnp.int8)
+            xs = x + (acc[0, 0, 0, 0] % 2).astype(jnp.int8)
             out = jax.lax.conv_general_dilated(
-                xs, k8, (1, 1), "SAME", dimension_numbers=dims,
+                xs, k, (1, 1), "SAME", dimension_numbers=dims,
                 preferred_element_type=jnp.int32)
             return out[:1, :1, :1, :1]
         return jax.lax.fori_loop(0, reps, body,
                                  jnp.zeros((1, 1, 1, 1), jnp.int32))
 
-    def chain_bf(reps: int):
+    def chain_bf(reps, x, k):
         def body(i, acc):
-            xs = xb + (acc[0, 0, 0, 0] % 2.0).astype(jnp.bfloat16)
+            xs = x + (acc[0, 0, 0, 0] % 2.0).astype(jnp.bfloat16)
             out = jax.lax.conv_general_dilated(
-                xs, kb, (1, 1), "SAME", dimension_numbers=dims,
+                xs, k, (1, 1), "SAME", dimension_numbers=dims,
                 preferred_element_type=jnp.float32)
             return out[:1, :1, :1, :1]
         return jax.lax.fori_loop(0, reps, body,
                                  jnp.zeros((1, 1, 1, 1), jnp.float32))
 
     flops = 2 * b * hw * hw * 9 * cin * cout
-    s_i8 = _time_chain(chain_i8, reps_lo=8, reps_hi=64)
-    s_bf = _time_chain(chain_bf, reps_lo=8, reps_hi=64)
+    s_i8 = _time_chain(chain_i8, (x8, k8), reps_lo=32,
+                       reps_hi=256, runs=runs)
+    s_bf = _time_chain(chain_bf, (xb, kb), reps_lo=32,
+                       reps_hi=256, runs=runs)
     return {"case": f"conv3x3 b{b} {hw}^2 {cin}->{cout}",
             "int8_tops": round(flops / s_i8 / 1e12, 1),
             "bf16_tfs": round(flops / s_bf / 1e12, 1),
@@ -118,6 +130,7 @@ def bench_conv(b: int, hw: int, cin: int, cout: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--conv-only", action="store_true")
+    ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
     try:
         from s2sr_tpu.utils.jax_cache import enable_compilation_cache
@@ -130,10 +143,11 @@ def main() -> None:
     if not args.conv_only:
         for m, k, n in ((27840, 128, 128), (27840, 192, 192),
                         (27840, 96, 160), (27840, 288, 128)):
-            print(json.dumps(bench_matmul(m, k, n)), flush=True)
+            print(json.dumps(bench_matmul(m, k, n, args.runs)), flush=True)
     for b, hw, cin, cout in ((16, 264, 64, 64), (16, 264, 96, 32),
                              (16, 264, 192, 64)):
-        print(json.dumps(bench_conv(b, hw, cin, cout)), flush=True)
+        print(json.dumps(bench_conv(b, hw, cin, cout, args.runs)),
+              flush=True)
 
 
 if __name__ == "__main__":
