@@ -76,6 +76,11 @@ class SREngine:
         bgr_order: bool = True,
         mesh=None,
     ):
+        """``dtype``: "bfloat16" (default — pinned byte-identical to the
+        fp32 oracle), "float32", or "int8" — W8A8 quantized RRDB trunk
+        (:mod:`.rrdbnet_int8`), calibrated once at engine build on the
+        synthetic-fields fixture; opt-in throughput mode with a
+        measured, bounded quality delta (BENCH_NOTES int8 section)."""
         _ensure_cache()
         config = get_model_config(model_name)
         if config["family"] not in ("rrdbnet", "swinir"):
@@ -87,7 +92,8 @@ class SREngine:
         self.tile_size = tile_size
         self.tile_pad = tile_pad
         self.batch_size = batch_size
-        self.dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        self.quantized = dtype == "int8"
+        self.dtype = jnp.float32 if dtype == "float32" else jnp.bfloat16
         self.bgr_order = bgr_order
         self.mesh = mesh
         if self.family == "swinir":
@@ -115,6 +121,8 @@ class SREngine:
         else:
             self.params, self.pretrained = resolve_params(model_name, weights_dir)
             model_apply = None
+        if self.quantized and self.family != "rrdbnet":
+            raise ValueError("dtype='int8' is only supported for rrdbnet")
         if not self.pretrained:
             logger.warning(
                 "%s: no converted weights in %s — using random init "
@@ -127,14 +135,40 @@ class SREngine:
         # 16 (batch-32 monolithic needs ~19.6 GB HBM — BENCH_NOTES r2)
         up_sub = 16 if batch_size > 16 else None
 
+        # int8 mode: calibrate + quantize the trunk once per weight set.
+        # The quantized pytree rides ALONGSIDE params through every jit
+        # as an argument — closing over it would bake multi-MB HLO
+        # constants into each executable (the relay-413 trap,
+        # scripts/bench_int8.py module doc).
+        quant = self.quantized
+        if quant:
+            from ..fetch.synthetic import synthetic_fields
+            from .rrdbnet_int8 import quantize_rrdbnet, rrdbnet_apply_int8
+
+            calib = jnp.asarray(
+                synthetic_fields(size=(256, 256), seed=42),
+                jnp.float32)[None] / 255.0
+            self._qbody = jax.jit(quantize_rrdbnet)(self.params, calib)
+            self._mparams = {"p": self.params, "q": self._qbody}
+        else:
+            self._qbody = None
+            self._mparams = self.params
+
+        def rrdb_fwd(mp, x, mask=None):
+            if quant:
+                return rrdbnet_apply_int8(
+                    mp["p"], mp["q"], x, scale=scale, dtype=dtype_,
+                    up_sub_batch=up_sub, mask=mask)
+            return rrdbnet_apply(mp, x, scale=scale, dtype=dtype_,
+                                 up_sub_batch=up_sub, mask=mask)
+
         opts = _tpu_compiler_options()
         if self.family == "swinir":
             def batch_fn_raw(params, batch):
                 return model_apply(params, batch)
         else:
             def batch_fn_raw(params, batch):
-                return rrdbnet_apply(params, batch, scale=scale, dtype=dtype_,
-                                     up_sub_batch=up_sub)
+                return rrdb_fwd(params, batch)
         batch_fn = jax.jit(batch_fn_raw, compiler_options=opts)
 
         self._batch_fn = batch_fn
@@ -159,8 +193,7 @@ class SREngine:
                     return model_apply(params, b)
             else:
                 def model(b):
-                    return rrdbnet_apply(params, b, scale=scale, dtype=dtype_,
-                                         up_sub_batch=up_sub)
+                    return rrdb_fwd(params, b)
 
             if h * w > tile * tile * 4:
                 out = tiled_apply(model, x, tile=tile, pad=pad, scale=scale,
@@ -176,15 +209,12 @@ class SREngine:
                 if hb == h and wb == w:
                     # already on the bucket grid: the mask would be all
                     # ones — skip the ~345 fused re-zero multiplies
-                    out = rrdbnet_apply(params, x[None], scale=scale,
-                                        dtype=dtype_, up_sub_batch=up_sub)[0]
+                    out = rrdb_fwd(params, x[None])[0]
                 else:
                     xp = jnp.pad(x, ((0, hb - h), (0, wb - w), (0, 0)))
                     mask = jnp.pad(jnp.ones((h, w, 1), jnp.float32),
                                    ((0, hb - h), (0, wb - w), (0, 0)))
-                    out = rrdbnet_apply(params, xp[None], scale=scale,
-                                        dtype=dtype_, up_sub_batch=up_sub,
-                                        mask=mask[None])[0]
+                    out = rrdb_fwd(params, xp[None], mask=mask[None])[0]
                     out = out[:h * scale, :w * scale]
             else:
                 out = model(x[None])[0]
@@ -204,8 +234,7 @@ class SREngine:
             if bgr:
                 x = x[..., ::-1]
             out = (model_apply(params, x) if family == "swinir"
-                   else rrdbnet_apply(params, x, scale=scale, dtype=dtype_,
-                                      up_sub_batch=up_sub))
+                   else rrdb_fwd(params, x))
             if bgr:
                 out = out[..., ::-1]
             return jnp.trunc(jnp.clip(out * 255.0, 0.0, 255.0)).astype(jnp.uint8)
@@ -223,8 +252,7 @@ class SREngine:
             if bgr:
                 x = x[..., ::-1]
             x = x * masks      # zero-pad region must be exactly zero
-            out = rrdbnet_apply(params, x, scale=scale, dtype=dtype_,
-                                up_sub_batch=up_sub, mask=masks)
+            out = rrdb_fwd(params, x, mask=masks)
             if bgr:
                 out = out[..., ::-1]
             return jnp.trunc(jnp.clip(out * 255.0, 0.0, 255.0)).astype(jnp.uint8)
@@ -234,7 +262,7 @@ class SREngine:
                                  if self.family == "rrdbnet" else None)
 
     def model_fn(self, batch: jnp.ndarray) -> jnp.ndarray:
-        return self._batch_fn(self.params, batch)
+        return self._batch_fn(self._mparams, batch)
 
     # -- bucketed serving path (warm-executable for any upload size) ----
 
@@ -270,10 +298,10 @@ class SREngine:
             # computes while chunk k's result streams back to the host
             if masks is None:
                 pending.append(self._chunk_fn(
-                    self.params, jnp.asarray(wins[k:k + step])))
+                    self._mparams, jnp.asarray(wins[k:k + step])))
             else:
                 pending.append(self._masked_chunk_fn(
-                    self.params, jnp.asarray(wins[k:k + step]),
+                    self._mparams, jnp.asarray(wins[k:k + step]),
                     jnp.asarray(masks[k:k + step])))
             # pop down so that at most max_inflight outputs are ever
             # device-resident (ADVICE r2: `>` held a 4th one)
@@ -386,7 +414,7 @@ class SREngine:
 
     def enhance_device(self, img: jnp.ndarray) -> jnp.ndarray:
         """uint8 (H, W, 3) on device → uint8 (sH, sW, 3) on device."""
-        return self._enhance_fn(self.params, img)
+        return self._enhance_fn(self._mparams, img)
 
     def enhance(self, img: np.ndarray) -> np.ndarray:
         """Host-array convenience wrapper (the reference ``enhance`` API)."""

@@ -234,6 +234,7 @@ def rrdbnet_apply(
     use_pallas: bool = False,
     up_sub_batch: int | None = None,
     mask: jnp.ndarray | None = None,
+    body_override: tuple | None = None,
 ) -> jnp.ndarray:
     """Forward pass. ``x``: (N, H, W, 3) float in [0, 1] → (N, sH, sW, 3).
 
@@ -259,6 +260,12 @@ def rrdbnet_apply(
     ``cnn_super_resolution.py:226``). Adding exact zeros is exact in
     floating point, so the masked result is bit-identical to the
     unpadded forward. Not supported together with ``use_pallas``.
+
+    ``body_override``: ``(block_fn, scanned_tree)`` replaces the RRDB
+    trunk: ``block_fn(carry, per_block_leaves, mask) -> out`` is scanned
+    over ``scanned_tree`` instead of the default ``_rrdb`` over
+    ``params['body']`` (used by the int8 trunk,
+    :mod:`s2sr_tpu.models.rrdbnet_int8`).
     """
     if mask is not None and use_pallas:
         raise NotImplementedError("mask + use_pallas not supported")
@@ -291,7 +298,14 @@ def rrdbnet_apply(
         def block(carry, block_params):
             return _rrdb(carry, block_params, dtype, mask), None
 
-    body_feat, _ = jax.lax.scan(block, feat, params["body"])
+    scanned = params["body"]
+    if body_override is not None:
+        override_fn, scanned = body_override
+
+        def block(carry, block_leaves):          # noqa: F811
+            return override_fn(carry, block_leaves, mask), None
+
+    body_feat, _ = jax.lax.scan(block, feat, scanned)
     body_feat = _conv(body_feat, params["conv_body"], dtype)
     feat = m(feat + body_feat)
 

@@ -15,7 +15,12 @@ script hit, kept here as warnings:
   an HTTP 413 from shipping a 428 MB constant to the compile relay, and
   negative "rates"),
 - each iteration must DEPEND on the carry or while-loop invariant code
-  motion hoists the op out of the loop.
+  motion hoists the op out of the loop,
+- the carry must require EVERY output element, and not through a
+  linear reduction: carrying `out[:1, :1]` lets XLA push the slice
+  through the dot (one row x one column -> 1899 "TOPS" on a 394-TOPS
+  chip), and `sum(out)` is algebraically rewritable as two matvecs.
+  `max(out)` is not — that is the carry used here.
 """
 from __future__ import annotations
 
@@ -32,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _time_chain(make_fn, operands, reps_lo=1024, reps_hi=8192, runs=4):
+def _time_chain(make_fn, operands, reps_lo=4096, reps_hi=32768, runs=4):
     """Median-of-trials differential: chains must be long enough (≥0.3 s
     at the hi count) that relay dispatch variance (~tens-hundreds of ms
     per trial) doesn't swamp the signal — short chains here produced
@@ -61,22 +66,22 @@ def bench_matmul(m: int, k: int, n: int, runs: int) -> dict:
 
     # Each iteration's LHS depends on the carry (a broadcast VPU add,
     # negligible vs the dot) so XLA's while-loop invariant code motion
-    # cannot hoist the dot out of the loop — same reason bench_mxu.py
-    # chains through the accumulator.
+    # cannot hoist the dot out of the loop, and the carry is max(out):
+    # it needs every output element and, unlike sum(out) or a slice,
+    # cannot be pushed through the dot algebraically (see module doc).
     def chain_i8(reps, a, b):
         def body(i, acc):
-            lhs = a + (acc[0, 0] % 2).astype(jnp.int8)
-            return jax.lax.dot(lhs, b,
-                               preferred_element_type=jnp.int32)[:1, :1]
-        return jax.lax.fori_loop(0, reps, body, jnp.zeros((1, 1), jnp.int32))
+            lhs = a + (acc % 2).astype(jnp.int8)
+            out = jax.lax.dot(lhs, b, preferred_element_type=jnp.int32)
+            return jnp.max(out)
+        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
     def chain_bf(reps, a, b):
         def body(i, acc):
-            lhs = a + (acc[0, 0] % 2.0).astype(jnp.bfloat16)
-            return jax.lax.dot(lhs, b,
-                               preferred_element_type=jnp.float32)[:1, :1]
-        return jax.lax.fori_loop(0, reps, body,
-                                 jnp.zeros((1, 1), jnp.float32))
+            lhs = a + (acc % 2.0).astype(jnp.bfloat16)
+            out = jax.lax.dot(lhs, b, preferred_element_type=jnp.float32)
+            return jnp.max(out)
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
     flops = 2 * m * k * n
     s_i8 = _time_chain(chain_i8, (a8, b8), runs=runs)
@@ -95,32 +100,31 @@ def bench_conv(b: int, hw: int, cin: int, cout: int, runs: int) -> dict:
     kb = k8.astype(jnp.bfloat16)
     dims = ("NHWC", "HWIO", "NHWC")
 
-    # carry-dependent input perturbation to defeat LICM (see bench_matmul)
+    # carry-dependent input perturbation to defeat LICM, max(out) carry
+    # so the full conv output must be materialised (see bench_matmul)
     def chain_i8(reps, x, k):
         def body(i, acc):
-            xs = x + (acc[0, 0, 0, 0] % 2).astype(jnp.int8)
+            xs = x + (acc % 2).astype(jnp.int8)
             out = jax.lax.conv_general_dilated(
                 xs, k, (1, 1), "SAME", dimension_numbers=dims,
                 preferred_element_type=jnp.int32)
-            return out[:1, :1, :1, :1]
-        return jax.lax.fori_loop(0, reps, body,
-                                 jnp.zeros((1, 1, 1, 1), jnp.int32))
+            return jnp.max(out)
+        return jax.lax.fori_loop(0, reps, body, jnp.int32(0))
 
     def chain_bf(reps, x, k):
         def body(i, acc):
-            xs = x + (acc[0, 0, 0, 0] % 2.0).astype(jnp.bfloat16)
+            xs = x + (acc % 2.0).astype(jnp.bfloat16)
             out = jax.lax.conv_general_dilated(
                 xs, k, (1, 1), "SAME", dimension_numbers=dims,
                 preferred_element_type=jnp.float32)
-            return out[:1, :1, :1, :1]
-        return jax.lax.fori_loop(0, reps, body,
-                                 jnp.zeros((1, 1, 1, 1), jnp.float32))
+            return jnp.max(out)
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
     flops = 2 * b * hw * hw * 9 * cin * cout
-    s_i8 = _time_chain(chain_i8, (x8, k8), reps_lo=32,
-                       reps_hi=256, runs=runs)
-    s_bf = _time_chain(chain_bf, (xb, kb), reps_lo=32,
-                       reps_hi=256, runs=runs)
+    s_i8 = _time_chain(chain_i8, (x8, k8), reps_lo=64,
+                       reps_hi=512, runs=runs)
+    s_bf = _time_chain(chain_bf, (xb, kb), reps_lo=64,
+                       reps_hi=512, runs=runs)
     return {"case": f"conv3x3 b{b} {hw}^2 {cin}->{cout}",
             "int8_tops": round(flops / s_i8 / 1e12, 1),
             "bf16_tfs": round(flops / s_bf / 1e12, 1),
@@ -144,8 +148,13 @@ def main() -> None:
         for m, k, n in ((27840, 128, 128), (27840, 192, 192),
                         (27840, 96, 160), (27840, 288, 128)):
             print(json.dumps(bench_matmul(m, k, n, args.runs)), flush=True)
-    for b, hw, cin, cout in ((16, 264, 64, 64), (16, 264, 96, 32),
-                             (16, 264, 192, 64)):
+    # The production _rdb_packed conv shapes (models/rrdbnet.py:153-161):
+    # per-source wide convs, cin 64/32, cout 192..64 — plus the legacy
+    # narrow/concat shapes for comparison.
+    for b, hw, cin, cout in ((16, 264, 64, 192), (16, 264, 32, 160),
+                             (16, 264, 32, 128), (16, 264, 32, 96),
+                             (16, 264, 32, 64), (16, 264, 64, 64),
+                             (16, 264, 96, 32), (16, 264, 192, 64)):
         print(json.dumps(bench_conv(b, hw, cin, cout, args.runs)),
               flush=True)
 

@@ -162,6 +162,24 @@ def main() -> None:
         fns["v4_serialdma"] = chain(lambda v: rdb_pallas_v4(
             v, packed2b, b14_2b, b5_2b, tile=args.tile, stage_taps=3,
             prefetch=False))
+    if "i8" in variants:
+        # W8A8 quantized packed RDB (models/rrdbnet_int8.py). TF/s is
+        # FLOP-equivalent (same useful work, int8 MXU arithmetic); no
+        # exactness gate — int8 is intentionally approximate, quality is
+        # bounded in tests/test_int8.py.
+        from s2sr_tpu.models.rrdbnet_int8 import (_pack_rdb_kernels,
+                                                  _quantize_kernel,
+                                                  _rdb_packed_i8)
+
+        ws = _pack_rdb_kernels(p)
+        w8s, deqs = zip(*(_quantize_kernel(w) for w in ws))
+        s_act = jnp.full((5,), 1.0 / 127.0, jnp.float32)
+        qp = {"w8": tuple(w8s),
+              "deq": tuple(d * s_act[i] for i, d in enumerate(deqs)),
+              "qm": 1.0 / s_act,
+              "b": tuple(p[f"conv{k}"]["bias"].astype(jnp.float32)
+                         for k in range(1, 6))}
+        fns["i8"] = chain(lambda v: _rdb_packed_i8(v, qp, jnp.bfloat16))
 
     useful = b * h * w * FLOPS_PER_PX_RDB * R
     for name, fn in fns.items():

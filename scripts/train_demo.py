@@ -60,6 +60,10 @@ def main() -> None:
                     help="held-out LR eval size (HR = 4x)")
     ap.add_argument("--eval-scenes", type=int, default=3)
     ap.add_argument("--out", default="TRAIN_DEMO.json")
+    ap.add_argument("--ckpt-dir", default="",
+                    help="save the final params via the training "
+                         "CheckpointManager (for downstream probes, "
+                         "e.g. int8 quality eval on trained weights)")
     ap.add_argument("--cpu", action="store_true", help="CPU smoke mode")
     args = ap.parse_args()
 
@@ -204,6 +208,14 @@ def main() -> None:
     }
     Path(args.out).write_text(json.dumps(report, indent=1))
     print(f"wrote {args.out}; beats_bicubic={report['beats_bicubic']}")
+
+    if args.ckpt_dir:
+        from s2sr_tpu.training.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(args.ckpt_dir)
+        mgr.save(args.steps + args.gan_steps, params, opt_state)
+        mgr.wait()
+        print(f"saved final params to {args.ckpt_dir}")
 
 
 if __name__ == "__main__":
