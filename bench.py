@@ -12,6 +12,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -24,6 +25,13 @@ BASELINE_MPIX_S = 0.007  # reference CPU observed rate (BASELINE.md)
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=("bfloat16", "float32", "int8"),
+                    help="engine dtype; default bfloat16 (the parity "
+                         "mode pinned byte-identical to the fp32 "
+                         "oracle). int8 = W8A8 turbo serving mode.")
+    args = ap.parse_args()
     from s2sr_tpu.utils.jax_cache import enable_compilation_cache
 
     try:
@@ -38,7 +46,7 @@ def main() -> None:
 
     engine = SREngine(
         "realesrgan_x4", weights_dir="models", tile_size=256, tile_pad=4,
-        batch_size=16, dtype="bfloat16",
+        batch_size=16, dtype=args.dtype,
     )
 
     x = jnp.asarray(img)
@@ -59,8 +67,9 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     mpix_s = size * size * runs / dt / 1e6
+    tag = {"bfloat16": "bf16", "float32": "f32", "int8": "int8"}[args.dtype]
     print(json.dumps({
-        "metric": "x4 SR input throughput (RRDBNet-23, bf16, halo-tiled)",
+        "metric": f"x4 SR input throughput (RRDBNet-23, {tag}, halo-tiled)",
         "value": round(mpix_s, 3),
         "unit": "MPix/s/chip",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 1),

@@ -98,6 +98,53 @@ def make_train_step(config: TrainConfig, mesh: Optional[Mesh] = None):
     return jitted, tx
 
 
+def make_chunked_train_step(config: TrainConfig, mesh: Optional[Mesh] = None):
+    """→ jitted ``run(params, opt_state, lr_chunk, hr_chunk)`` →
+    ``(params, opt_state, losses)`` where the chunks carry a leading
+    steps axis ``(K, N, h, w, 3)`` and K optimizer steps run as ONE
+    ``lax.scan`` inside ONE executable.
+
+    This is the dispatch-amortised trainer for per-dispatch-expensive
+    links (the axon relay bills ~300 ms per dispatch: the plain
+    per-step trainer measured 2.5 steps/s HOST-bound on a model whose
+    step compute is ~15 ms — scanning K=32 steps per dispatch moves the
+    ceiling to the device). Identical math to K calls of
+    :func:`make_train_step`'s step; losses come back stacked (K,).
+
+    With a mesh, chunks are sharded per :func:`batch_sharding` on the
+    (N, h/H) axes — the leading K axis is the scan axis and never
+    sharded.
+    """
+    tx = make_optimizer(config)
+
+    def run(params, opt_state, lr_chunk, hr_chunk):
+        def body(carry, batch):
+            params, opt_state = carry
+            lr_b, hr_b = batch
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, lr_b, hr_b, config)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (lr_chunk, hr_chunk))
+        return params, opt_state, losses
+
+    if mesh is None:
+        return jax.jit(run), tx
+
+    repl = NamedSharding(mesh, P())
+    bsh = batch_sharding(mesh)
+    csh = NamedSharding(mesh, P(None, *bsh.spec))
+    jitted = jax.jit(
+        run,
+        in_shardings=(repl, repl, csh, csh),
+        out_shardings=(repl, repl, repl),
+    )
+    return jitted, tx
+
+
 def init_training(
     config: TrainConfig, seed: int = 0
 ) -> Tuple[dict, optax.OptState]:

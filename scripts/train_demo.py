@@ -45,6 +45,12 @@ def area_down(hr: np.ndarray, scale: int) -> np.ndarray:
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--steps", type=int, default=2500, help="L1 steps")
+    ap.add_argument("--chunk", type=int, default=32,
+                    help="optimizer steps per device dispatch "
+                         "(lax.scan-chunked trainer; 1 = per-step "
+                         "dispatch). The relay bills ~300 ms per "
+                         "dispatch — chunking moved this demo from "
+                         "2.5 to device-bound steps/s")
     ap.add_argument("--gan-steps", type=int, default=40)
     ap.add_argument("--pool", type=int, default=24,
                     help="pre-generated HR training scenes (0 = generate "
@@ -80,6 +86,7 @@ def main() -> None:
     from s2sr_tpu.training.gan import (GanConfig, UNetDiscriminator,
                                        make_gan_train_step)
     from s2sr_tpu.training.train import (TrainConfig, init_training,
+                                         make_chunked_train_step,
                                          make_train_step)
     from s2sr_tpu.utils.metrics import psnr, ssim
 
@@ -90,7 +97,14 @@ def main() -> None:
                          num_grow_ch=args.grow, learning_rate=args.lr,
                          lr_decay_steps=args.steps)
     params, opt_state = init_training(config, seed=0)
-    step_fn, _ = make_train_step(config)
+    chunk = max(1, args.chunk)
+    if args.steps % chunk:
+        args.steps -= args.steps % chunk
+        print(f"rounding L1 steps down to {args.steps} (chunk {chunk})")
+    if chunk > 1:
+        chunk_fn, _ = make_chunked_train_step(config)
+    else:
+        step_fn, _ = make_train_step(config)
 
     # --- held-out eval scenes (seeds far outside the sampler's range) --
     scale = config.scale
@@ -143,16 +157,34 @@ def main() -> None:
     losses = []
     t0 = time.monotonic()
     t_steady = None
-    for i, (lr_b, hr_b) in enumerate(prefetch(sampler, args.steps)):
-        params, opt_state, loss = step_fn(params, opt_state, lr_b, hr_b)
-        losses.append(loss)          # device scalars; read back at the end
-        if i == 0:
-            np.asarray(loss)         # force: compile once, then time
-            t_steady = time.monotonic()
-    np.asarray(losses[-1])           # drain the device queue
-    t1 = time.monotonic()
-    loss_np = np.asarray([float(x) for x in losses])
-    steady_rate = (args.steps - 1) / (t1 - t_steady) if args.steps > 1 else 0.0
+    if chunk > 1:
+        it = iter(prefetch(sampler, args.steps))
+        for gi in range(args.steps // chunk):
+            pairs = [next(it) for _ in range(chunk)]
+            lr_c = np.stack([p[0] for p in pairs])
+            hr_c = np.stack([p[1] for p in pairs])
+            params, opt_state, lvec = chunk_fn(params, opt_state, lr_c, hr_c)
+            losses.append(lvec)      # device (chunk,); read back at the end
+            if gi == 0:
+                np.asarray(lvec)     # force: compile once, then time
+                t_steady = time.monotonic()
+        np.asarray(losses[-1])       # drain the device queue
+        t1 = time.monotonic()
+        loss_np = np.concatenate([np.asarray(v) for v in losses])
+        steady_rate = ((args.steps - chunk) / (t1 - t_steady)
+                       if args.steps > chunk else 0.0)
+    else:
+        for i, (lr_b, hr_b) in enumerate(prefetch(sampler, args.steps)):
+            params, opt_state, loss = step_fn(params, opt_state, lr_b, hr_b)
+            losses.append(loss)      # device scalars; read back at the end
+            if i == 0:
+                np.asarray(loss)     # force: compile once, then time
+                t_steady = time.monotonic()
+        np.asarray(losses[-1])       # drain the device queue
+        t1 = time.monotonic()
+        loss_np = np.asarray([float(x) for x in losses])
+        steady_rate = ((args.steps - 1) / (t1 - t_steady)
+                       if args.steps > 1 else 0.0)
     print(f"L1: {args.steps} steps, loss {loss_np[0]:.4f} -> "
           f"{loss_np[-1]:.4f} (min {loss_np.min():.4f}), "
           f"{steady_rate:.1f} steps/s steady (compile {t_steady - t0:.0f}s)")
@@ -191,7 +223,8 @@ def main() -> None:
         "config": {"feat": args.feat, "blocks": args.blocks,
                    "grow": args.grow, "scale": scale, "lr": args.lr,
                    "batch": args.batch, "crop_lr": args.crop,
-                   "l1_steps": args.steps, "gan_steps": args.gan_steps,
+                   "l1_steps": args.steps, "chunk": chunk,
+                   "gan_steps": args.gan_steps,
                    "pool": args.pool, "gan_weight": args.gan_weight,
                    "eval_lr_size": args.eval_size,
                    "eval_scenes": args.eval_scenes},

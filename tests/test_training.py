@@ -10,6 +10,7 @@ from s2sr_tpu.training.train import (
     TrainConfig,
     batch_sharding,
     init_training,
+    make_chunked_train_step,
     make_train_step,
 )
 
@@ -34,6 +35,57 @@ def test_unsharded_loss_decreases():
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert all(np.isfinite(losses))
+
+
+def test_chunked_step_matches_sequential():
+    """K scanned optimizer steps in one dispatch == K sequential steps
+    (same params, opt-state schedule count, and per-step losses)."""
+    K = 4
+    rng = np.random.default_rng(1)
+    chunks = [_data(seed=s) for s in range(K)]
+    lr_c = np.stack([c[0] for c in chunks])
+    hr_c = np.stack([c[1] for c in chunks])
+
+    params, opt_state = init_training(TINY)
+    step, _ = make_train_step(TINY)
+    seq_losses = []
+    for lr, hr in chunks:
+        params, opt_state, loss = step(params, opt_state, lr, hr)
+        seq_losses.append(float(loss))
+
+    params2, opt_state2 = init_training(TINY)
+    run, _ = make_chunked_train_step(TINY)
+    params2, opt_state2, losses = run(params2, opt_state2, lr_c, hr_c)
+
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("mesh_shape", ["dp=4", "dp=2,sp=2"])
+def test_chunked_step_sharded(mesh_shape):
+    """Chunked trainer over a mesh: runs, losses finite, matches the
+    unsharded chunked run."""
+    from s2sr_tpu.parallel import build_mesh
+
+    K = 2
+    chunks = [_data(seed=s) for s in range(K)]
+    lr_c = np.stack([c[0] for c in chunks])
+    hr_c = np.stack([c[1] for c in chunks])
+
+    params, opt_state = init_training(TINY)
+    run, _ = make_chunked_train_step(TINY)
+    p_ref, _, l_ref = run(params, opt_state, lr_c, hr_c)
+
+    mesh = build_mesh(mesh_shape)
+    run_m, _ = make_chunked_train_step(TINY, mesh=mesh)
+    p_m, _, l_m = run_m(params, opt_state, lr_c, hr_c)
+    np.testing.assert_allclose(np.asarray(l_m), np.asarray(l_ref),
+                               rtol=1e-5, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
 
 
 def test_lr_decay_schedule():
