@@ -79,8 +79,10 @@ class SREngine:
         """``dtype``: "bfloat16" (default — pinned byte-identical to the
         fp32 oracle), "float32", or "int8" — W8A8 quantized RRDB trunk
         (:mod:`.rrdbnet_int8`), calibrated once at engine build on the
-        synthetic-fields fixture; opt-in throughput mode with a
-        measured, bounded quality delta (BENCH_NOTES int8 section)."""
+        synthetic-fields fixture. NOTE: int8 measured ~12% SLOWER than
+        bf16 at chain level on v5e via XLA (BENCH_NOTES int8 section);
+        it is a tested quantization harness, not a v5e throughput
+        mode."""
         _ensure_cache()
         config = get_model_config(model_name)
         if config["family"] not in ("rrdbnet", "swinir"):

@@ -1,12 +1,17 @@
 """int8 (W8A8) quantized RRDBNet trunk for the serving engine.
 
 The v5e MXU advertises 2x int8 throughput over bf16 (394 vs 197 TOPS);
-``scripts/bench_int8.py`` measured XLA actually delivering 1.18-1.51x at
-the production packed-RDB conv shapes (64->192: 1.51x, 32->wide:
-1.18-1.27x; FLOP-weighted ~1.34x ceiling). This module cashes that in
-as an OPT-IN serving mode — the bf16 path stays the default because it
-is the one pinned byte-identical to the fp32 oracle (BENCH_NOTES); int8
-trades a measured, bounded PSNR delta for throughput.
+``scripts/bench_int8.py`` measured XLA delivering 1.18-1.51x at the
+production packed-RDB conv shapes in ISOLATION (64->192: 1.51x,
+32->wide: 1.18-1.27x). At chain level the win does NOT survive:
+the 12-RDB chain runs 49.4 TF/s-equiv int8 vs 55-57 bf16 (BENCH_NOTES
+round-3 int8 section — ablations attribute ~4% to the scale/round/clip
+glue and ~8% to the int8 convs themselves in context, whose int32
+outputs double the write bytes of bf16 and whose cast pass does not
+fuse into the conv on this backend). The mode is retained as a fully
+tested quantization harness (and for backends where the trade-off
+differs), NOT as a throughput win on v5e via XLA; bf16 stays the
+default and the recommended production dtype.
 
 Scheme (standard symmetric W8A8, chosen for XLA-fusibility):
 

@@ -180,6 +180,137 @@ def main() -> None:
               "b": tuple(p[f"conv{k}"]["bias"].astype(jnp.float32)
                          for k in range(1, 6))}
         fns["i8"] = chain(lambda v: _rdb_packed_i8(v, qp, jnp.bfloat16))
+    if "i8fast" in variants:
+        # ablation: dequant/quant arithmetic in bf16 instead of f32
+        # (half the elementwise bandwidth; slightly different quantizer)
+        from s2sr_tpu.models.rrdbnet_int8 import (_pack_rdb_kernels,
+                                                  _quantize_kernel)
+
+        ws = _pack_rdb_kernels(p)
+        w8s, deqs = zip(*(_quantize_kernel(w) for w in ws))
+        deq_b = tuple((d / 127.0).astype(jnp.bfloat16) for d in deqs)
+        qm_b = jnp.bfloat16(127.0)
+        b_b = tuple(p[f"conv{k}"]["bias"].astype(jnp.bfloat16)
+                    for k in range(1, 6))
+
+        def conv_i8f(x8, w8, d):
+            out = jax.lax.conv_general_dilated(
+                x8, w8, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            return out.astype(jnp.bfloat16) * d
+
+        def quant_b(x):
+            return jnp.clip(jnp.round(x * qm_b), -127, 127).astype(jnp.int8)
+
+        def rdb_i8f(x):
+            g = 32
+            lrelu = lambda t: jnp.where(t >= 0, t, t * jnp.bfloat16(0.2))
+            acc = conv_i8f(quant_b(x), w8s[0], deq_b[0])
+            x1 = quant_b(lrelu(acc[..., -g:] + b_b[0]))
+            acc = acc[..., :-g] + conv_i8f(x1, w8s[1], deq_b[1])
+            x2 = quant_b(lrelu(acc[..., -g:] + b_b[1]))
+            acc = acc[..., :-g] + conv_i8f(x2, w8s[2], deq_b[2])
+            x3 = quant_b(lrelu(acc[..., -g:] + b_b[2]))
+            acc = acc[..., :-g] + conv_i8f(x3, w8s[3], deq_b[3])
+            x4 = quant_b(lrelu(acc[..., -g:] + b_b[3]))
+            x5 = acc[..., :-g] + conv_i8f(x4, w8s[4], deq_b[4]) + b_b[4]
+            return x5 * jnp.bfloat16(0.2) + x
+
+        fns["i8fast"] = chain(rdb_i8f)
+    if "i8acc" in variants:
+        # int32-accumulator formulation: ONE shared activation scale per
+        # RDB + JOINT per-channel weight scales across the 5 stage
+        # kernels -> raw int32 conv outputs sum directly in the prefix
+        # accumulator; dequant happens only at the 32-lane tail
+        # extractions (and the final 64-lane residual), not over every
+        # wide conv output.
+        from s2sr_tpu.models.rrdbnet_int8 import _pack_rdb_kernels
+
+        ws = _pack_rdb_kernels(p)                     # cout 192..64
+        # joint per-channel scales on the packed prefix layout: lane c
+        # of the accumulator receives contributions from every stage
+        # kernel whose cout covers c (all kernels share prefix lanes)
+        s192 = jnp.zeros((192,), jnp.float32)
+        for wk in ws:
+            co = wk.shape[-1]
+            s192 = s192.at[:co].max(jnp.max(jnp.abs(wk), axis=(0, 1, 2)))
+        s192 = jnp.maximum(s192, 1e-12) / 127.0
+        w8s = tuple(
+            jnp.clip(jnp.round(wk / s192[: wk.shape[-1]]), -127, 127)
+            .astype(jnp.int8) for wk in ws)
+        s_a = 1.0 / 127.0                              # shared act scale
+        d192 = (s192 * s_a).astype(jnp.float32)        # joint dequant
+        b_f = tuple(p[f"conv{k}"]["bias"].astype(jnp.float32)
+                    for k in range(1, 6))
+
+        def conv_raw32(x8, w8):
+            return jax.lax.conv_general_dilated(
+                x8, w8, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+
+        def quant_a(x):
+            q = jnp.round(x.astype(jnp.float32) * (1.0 / s_a))
+            return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+        def rdb_i8acc(x):
+            g = 32
+            lrelu = lambda t: jnp.where(t >= 0, t, t * 0.2)
+
+            def tail(acc32, k):
+                co = acc32.shape[-1]
+                t = acc32[..., -g:].astype(jnp.float32) * d192[co - g:co]
+                return quant_a(lrelu(t + b_f[k]))
+
+            acc = conv_raw32(quant_a(x), w8s[0])               # int32 192
+            x1 = tail(acc, 0)
+            acc = acc[..., :-g] + conv_raw32(x1, w8s[1])       # int32 160
+            x2 = tail(acc, 1)
+            acc = acc[..., :-g] + conv_raw32(x2, w8s[2])       # int32 128
+            x3 = tail(acc, 2)
+            acc = acc[..., :-g] + conv_raw32(x3, w8s[3])       # int32 96
+            x4 = tail(acc, 3)
+            acc = acc[..., :-g] + conv_raw32(x4, w8s[4])       # int32 64
+            x5 = acc.astype(jnp.float32) * d192[:64] + b_f[4]
+            return (x5 * 0.2).astype(jnp.bfloat16) + x
+
+        fns["i8acc"] = chain(rdb_i8acc)
+    if "i8noq" in variants:
+        # time-attribution ablation (math intentionally wrong, never
+        # shipped): int8 convs with NO quant/dequant glue — the output
+        # is cast to int8 by truncation, the accumulator stays bf16 via
+        # plain casts. Separates "int8 convs run slower in chain
+        # context" from "the W8A8 scale glue costs the difference".
+        from s2sr_tpu.models.rrdbnet_int8 import _pack_rdb_kernels
+
+        ws_n = _pack_rdb_kernels(p)
+        w8n = tuple(jnp.clip(jnp.round(wk * 64), -127, 127)
+                    .astype(jnp.int8) for wk in ws_n)
+
+        def conv_n(x8, w8):
+            return jax.lax.conv_general_dilated(
+                x8, w8, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+
+        def rdb_i8noq(x):
+            # same bf16-accumulator structure as variant i8, but every
+            # quant/dequant is a bare CAST — isolates the scale/round/
+            # clip arithmetic from the int8-conv + cast cost
+            g = 32
+            acc = conv_n(x.astype(jnp.int8), w8n[0]).astype(jnp.bfloat16)
+            x1 = acc[..., -g:].astype(jnp.int8)
+            acc = acc[..., :-g] + conv_n(x1, w8n[1]).astype(jnp.bfloat16)
+            x2 = acc[..., -g:].astype(jnp.int8)
+            acc = acc[..., :-g] + conv_n(x2, w8n[2]).astype(jnp.bfloat16)
+            x3 = acc[..., -g:].astype(jnp.int8)
+            acc = acc[..., :-g] + conv_n(x3, w8n[3]).astype(jnp.bfloat16)
+            x4 = acc[..., -g:].astype(jnp.int8)
+            acc = acc[..., :-g] + conv_n(x4, w8n[4]).astype(jnp.bfloat16)
+            return acc * jnp.bfloat16(1e-4) + x
+
+        fns["i8noq"] = chain(rdb_i8noq)
 
     useful = b * h * w * FLOPS_PER_PX_RDB * R
     for name, fn in fns.items():
