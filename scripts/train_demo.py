@@ -51,6 +51,13 @@ def main() -> None:
                          "dispatch). The relay bills ~300 ms per "
                          "dispatch — chunking moved this demo from "
                          "2.5 to device-bound steps/s")
+    ap.add_argument("--pipeline", choices=("device", "host"),
+                    default="device",
+                    help="'device': pool lives in HBM, crops sampled "
+                         "inside the scanned step (host fully out of "
+                         "the loop — the 1-core host sampler capped "
+                         "the chunked trainer at ~4 steps/s); 'host': "
+                         "PairSampler+prefetch threads")
     ap.add_argument("--gan-steps", type=int, default=40)
     ap.add_argument("--pool", type=int, default=24,
                     help="pre-generated HR training scenes (0 = generate "
@@ -87,6 +94,7 @@ def main() -> None:
                                        make_gan_train_step)
     from s2sr_tpu.training.train import (TrainConfig, init_training,
                                          make_chunked_train_step,
+                                         make_device_pool_train_step,
                                          make_train_step)
     from s2sr_tpu.utils.metrics import psnr, ssim
 
@@ -98,10 +106,14 @@ def main() -> None:
                          lr_decay_steps=args.steps)
     params, opt_state = init_training(config, seed=0)
     chunk = max(1, args.chunk)
+    device_pipe = args.pipeline == "device" and chunk > 1
     if args.steps % chunk:
         args.steps -= args.steps % chunk
         print(f"rounding L1 steps down to {args.steps} (chunk {chunk})")
-    if chunk > 1:
+    if device_pipe:
+        pool_fn, _ = make_device_pool_train_step(
+            config, args.crop, args.batch, chunk)
+    elif chunk > 1:
         chunk_fn, _ = make_chunked_train_step(config)
     else:
         step_fn, _ = make_train_step(config)
@@ -157,7 +169,33 @@ def main() -> None:
     losses = []
     t0 = time.monotonic()
     t_steady = None
-    if chunk > 1:
+    if device_pipe:
+        if not pool:
+            raise SystemExit("--pipeline device requires --pool > 0")
+        pool_dev = jnp.asarray(
+            np.stack(pool).astype(np.float32) / 255.0)
+        key = jax.random.PRNGKey(123)
+        groups = args.steps // chunk
+        for gi in range(groups):
+            key, sub = jax.random.split(key)
+            params, opt_state, lvec = pool_fn(params, opt_state,
+                                              pool_dev, sub)
+            losses.append(lvec)
+            if gi == 0:
+                np.asarray(lvec)     # force: compile once, then time
+                t_steady = time.monotonic()
+            if (gi + 1) % 25 == 0 or gi + 1 == groups:
+                done = (gi + 1) * chunk
+                rate = ((done - chunk) / (time.monotonic() - t_steady)
+                        if done > chunk else 0.0)
+                print(f"  L1 {done}/{args.steps} loss "
+                      f"{float(np.asarray(lvec)[-1]):.4f} "
+                      f"({rate:.1f} steps/s)", flush=True)
+        t1 = time.monotonic()
+        loss_np = np.concatenate([np.asarray(v) for v in losses])
+        steady_rate = ((args.steps - chunk) / (t1 - t_steady)
+                       if args.steps > chunk else 0.0)
+    elif chunk > 1:
         it = iter(prefetch(sampler, args.steps))
         for gi in range(args.steps // chunk):
             pairs = [next(it) for _ in range(chunk)]
@@ -224,6 +262,7 @@ def main() -> None:
                    "grow": args.grow, "scale": scale, "lr": args.lr,
                    "batch": args.batch, "crop_lr": args.crop,
                    "l1_steps": args.steps, "chunk": chunk,
+                   "pipeline": args.pipeline,
                    "gan_steps": args.gan_steps,
                    "pool": args.pool, "gan_weight": args.gan_weight,
                    "eval_lr_size": args.eval_size,
