@@ -236,6 +236,7 @@ def test_run_chunked_pow2_decomposition(rng, tmp_path):
     class FakeEngine:
         batch_size = 16
         params = None
+        _mparams = None
 
         def _chunk_fn(self, params, batch):
             calls.append(batch.shape[0])
