@@ -150,6 +150,11 @@ class SREngine:
             calib = jnp.asarray(
                 synthetic_fields(size=(256, 256), seed=42),
                 jnp.float32)[None] / 255.0
+            if bgr_order:
+                # serving feeds the trunk BGR — calibrate on the same
+                # channel order or the static act scales are sized for
+                # a feature distribution never served
+                calib = calib[..., ::-1]
             self._qbody = jax.jit(quantize_rrdbnet)(self.params, calib)
             self._mparams = {"p": self.params, "q": self._qbody}
         else:

@@ -111,6 +111,33 @@ def _rdb(x: jnp.ndarray, p: Params, dtype) -> jnp.ndarray:
     return x5 * jnp.asarray(0.2, dtype) + x
 
 
+def packed_prefix_kernels(p: Params) -> tuple:
+    """The five per-source kernels in the PREFIX accumulator layout.
+
+    Output-column order per source is (5, 4, 3, 2, ...) so the
+    accumulator reads ``[a5|a4|a3|a2|a1]`` and each stage consumes a
+    32-lane *tail* while the hot operand stays a lane-0-aligned prefix
+    (see :func:`_rdb_packed`). This is the ONE definition of the packed
+    layout — both the bf16 production path and the int8 quantizer
+    (:mod:`.rrdbnet_int8`) consume it; change it here and both move
+    together.
+    """
+    g = p["conv1"]["kernel"].shape[-1]
+    nf = p["conv1"]["kernel"].shape[-2]          # conv1 sees only x
+
+    def sl(k, lo, hi):
+        return p[f"conv{k}"]["kernel"][:, :, lo:hi, :]
+
+    wx = jnp.concatenate([sl(k, 0, nf) for k in (5, 4, 3, 2, 1)], axis=-1)
+    w1 = jnp.concatenate([sl(k, nf, nf + g) for k in (5, 4, 3, 2)], axis=-1)
+    w2 = jnp.concatenate([sl(k, nf + g, nf + 2 * g) for k in (5, 4, 3)],
+                         axis=-1)
+    w3 = jnp.concatenate([sl(k, nf + 2 * g, nf + 3 * g) for k in (5, 4)],
+                         axis=-1)
+    w4 = sl(5, nf + 3 * g, nf + 4 * g)
+    return wx, w1, w2, w3, w4
+
+
 def _rdb_packed(x: jnp.ndarray, p: Params, dtype, mask=None) -> jnp.ndarray:
     """Delta RDB with an eagerly-accumulated, prefix-shrinking buffer.
 
@@ -128,16 +155,7 @@ def _rdb_packed(x: jnp.ndarray, p: Params, dtype, mask=None) -> jnp.ndarray:
     :func:`_rdb` on v5e (BENCH_NOTES r2).
     """
     g = p["conv1"]["kernel"].shape[-1]
-    nf = x.shape[-1]
-
-    def x_slice(k, lo, hi):
-        return p[f"conv{k}"]["kernel"][:, :, lo:hi, :]
-
-    wx = jnp.concatenate([x_slice(k, 0, nf) for k in (5, 4, 3, 2, 1)], axis=-1)
-    w1 = jnp.concatenate([x_slice(k, nf, nf + g) for k in (5, 4, 3, 2)], axis=-1)
-    w2 = jnp.concatenate([x_slice(k, nf + g, nf + 2 * g) for k in (5, 4, 3)], axis=-1)
-    w3 = jnp.concatenate([x_slice(k, nf + 2 * g, nf + 3 * g) for k in (5, 4)], axis=-1)
-    w4 = x_slice(5, nf + 3 * g, nf + 4 * g)
+    wx, w1, w2, w3, w4 = packed_prefix_kernels(p)
 
     def b(k):
         return p[f"conv{k}"]["bias"].astype(dtype)

@@ -51,27 +51,17 @@ import jax
 import jax.numpy as jnp
 
 from .rrdbnet import (Params, _conv, _lrelu, _nearest_x2,  # noqa: F401
-                      _rdb_packed, rrdbnet_apply)
+                      _rdb_packed, packed_prefix_kernels, rrdbnet_apply)
 
 QParams = Any
 
 
 def _pack_rdb_kernels(p: Params) -> tuple[jnp.ndarray, ...]:
-    """The five per-source packed kernels of ``_rdb_packed`` (fp32)."""
-    g = p["conv1"]["kernel"].shape[-1]
-    nf = p["conv1"]["kernel"].shape[-2]             # conv1 sees only x
-
-    def sl(k, lo, hi):
-        return p[f"conv{k}"]["kernel"][:, :, lo:hi, :].astype(jnp.float32)
-
-    wx = jnp.concatenate([sl(k, 0, nf) for k in (5, 4, 3, 2, 1)], axis=-1)
-    w1 = jnp.concatenate([sl(k, nf, nf + g) for k in (5, 4, 3, 2)], axis=-1)
-    w2 = jnp.concatenate([sl(k, nf + g, nf + 2 * g) for k in (5, 4, 3)],
-                         axis=-1)
-    w3 = jnp.concatenate([sl(k, nf + 2 * g, nf + 3 * g) for k in (5, 4)],
-                         axis=-1)
-    w4 = sl(5, nf + 3 * g, nf + 4 * g)
-    return wx, w1, w2, w3, w4
+    """The five per-source packed kernels of ``_rdb_packed`` in fp32 —
+    the layout definition lives in ONE place
+    (:func:`.rrdbnet.packed_prefix_kernels`), shared with the
+    production bf16 path so they cannot drift apart."""
+    return tuple(w.astype(jnp.float32) for w in packed_prefix_kernels(p))
 
 
 def _quantize_kernel(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

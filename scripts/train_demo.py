@@ -101,15 +101,18 @@ def main() -> None:
     platform = jax.devices()[0].platform
     print(f"device: {jax.devices()[0]}")
 
-    config = TrainConfig(num_feat=args.feat, num_block=args.blocks,
-                         num_grow_ch=args.grow, learning_rate=args.lr,
-                         lr_decay_steps=args.steps)
-    params, opt_state = init_training(config, seed=0)
-    chunk = max(1, args.chunk)
+    # clamp the chunk to the run length, round steps to whole chunks
+    # BEFORE sizing the cosine schedule — the decay must complete over
+    # the steps that actually run
+    chunk = max(1, min(args.chunk, args.steps))
     device_pipe = args.pipeline == "device" and chunk > 1
     if args.steps % chunk:
         args.steps -= args.steps % chunk
         print(f"rounding L1 steps down to {args.steps} (chunk {chunk})")
+    config = TrainConfig(num_feat=args.feat, num_block=args.blocks,
+                         num_grow_ch=args.grow, learning_rate=args.lr,
+                         lr_decay_steps=args.steps)
+    params, opt_state = init_training(config, seed=0)
     if device_pipe:
         pool_fn, _ = make_device_pool_train_step(
             config, args.crop, args.batch, chunk)
@@ -227,6 +230,19 @@ def main() -> None:
           f"{loss_np[-1]:.4f} (min {loss_np.min():.4f}), "
           f"{steady_rate:.1f} steps/s steady (compile {t_steady - t0:.0f}s)")
 
+    # Checkpoint the L1-phase pair NOW: (params, opt_state) are
+    # consistent here (the GAN phase updates params under a different
+    # optimizer — saving post-GAN params with the stale L1 opt_state
+    # would corrupt a resume). The L1 params are also the PSNR-best;
+    # the GAN stage deliberately trades PSNR for sharpness.
+    if args.ckpt_dir:
+        from s2sr_tpu.training.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(args.ckpt_dir)
+        mgr.save(args.steps, params, opt_state)
+        mgr.wait()
+        print(f"saved L1 params+opt to {args.ckpt_dir} @ {args.steps}")
+
     after_l1 = evaluate(params)
     print(f"after L1:         {after_l1}")
 
@@ -280,14 +296,6 @@ def main() -> None:
     }
     Path(args.out).write_text(json.dumps(report, indent=1))
     print(f"wrote {args.out}; beats_bicubic={report['beats_bicubic']}")
-
-    if args.ckpt_dir:
-        from s2sr_tpu.training.checkpoint import CheckpointManager
-
-        mgr = CheckpointManager(args.ckpt_dir)
-        mgr.save(args.steps + args.gan_steps, params, opt_state)
-        mgr.wait()
-        print(f"saved final params to {args.ckpt_dir}")
 
 
 if __name__ == "__main__":

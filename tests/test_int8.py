@@ -1,8 +1,10 @@
 """int8 (W8A8) quantized trunk: mechanics, quality bound, serving contract.
 
-The int8 path is an opt-in throughput mode (engine ``dtype="int8"``,
-``scripts/bench_int8.py`` measured 1.18-1.51x MXU headroom at the
-packed-RDB conv shapes). Quality tests run on UNSCALED random weights
+The int8 path (engine ``dtype="int8"``) is a tested quantization
+HARNESS, not a v5e throughput mode: isolated conv probes measured
+1.18-1.51x MXU headroom but the chain runs ~12% SLOWER than bf16
+(BENCH_NOTES round-3 int8 section — the avenue is closed by
+measurement). Quality tests run on UNSCALED random weights
 (``make_state_dict`` — the adversarial regime where the trunk dominates
 the output); with ESRGAN-scaled init the trunk contributes ~1e-7 and
 any quantization test would pass vacuously.
