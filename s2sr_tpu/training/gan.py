@@ -120,9 +120,10 @@ def perceptual_features(gen_params: Params, x: jnp.ndarray,
     return _lrelu(feat)
 
 
-def make_gan_train_step(config: GanConfig, mesh: Optional[Mesh] = None):
-    """→ jitted ``step(g_params, d_params, g_opt, d_opt, lr, hr)`` →
-    ``(g_params, d_params, g_opt, d_opt, metrics)``."""
+def _gan_step_parts(config: GanConfig):
+    """The raw (unjitted) GAN step + its optimizers/discriminator —
+    shared by :func:`make_gan_train_step` (per-dispatch) and
+    :func:`make_device_pool_gan_step` (scan-chunked)."""
     base = config.base
     dtype = jnp.bfloat16 if base.dtype == "bfloat16" else jnp.float32
     disc = UNetDiscriminator(config.num_feat_d)
@@ -171,11 +172,70 @@ def make_gan_train_step(config: GanConfig, mesh: Optional[Mesh] = None):
                    "pixel": pixel, "adv": adv}
         return g_params, d_params, g_opt, d_opt, metrics
 
+    return step, disc, g_tx, d_tx
+
+
+def make_gan_train_step(config: GanConfig, mesh: Optional[Mesh] = None):
+    """→ jitted ``step(g_params, d_params, g_opt, d_opt, lr, hr)`` →
+    ``(g_params, d_params, g_opt, d_opt, metrics)``."""
+    step, disc, g_tx, d_tx = _gan_step_parts(config)
+
     if mesh is None:
         return jax.jit(step), disc, g_tx, d_tx
 
     repl = NamedSharding(mesh, P())
     bsh = batch_sharding(mesh)
     jitted = jax.jit(step, in_shardings=(repl,) * 4 + (bsh, bsh),
+                     out_shardings=(repl,) * 5)
+    return jitted, disc, g_tx, d_tx
+
+
+def make_device_pool_gan_step(
+    config: GanConfig,
+    crop_lr: int,
+    batch: int,
+    chunk: int,
+    mesh: Optional[Mesh] = None,
+):
+    """Device-resident GAN trainer: K scanned G+D steps per dispatch,
+    batches sampled on device from an HBM pool — the GAN twin of
+    :func:`..training.train.make_device_pool_train_step`.
+
+    → jitted ``run(g_params, d_params, g_opt, d_opt, pool, key)`` →
+    ``(g_params, d_params, g_opt, d_opt, metrics)`` with each metric
+    stacked ``(chunk,)``.
+    """
+    from .train import batch_sharding as _bsh, make_pool_sampler
+
+    step, disc, g_tx, d_tx = _gan_step_parts(config)
+    sample_batch = make_pool_sampler(config.base.scale, crop_lr, batch)
+
+    constrain = None
+    if mesh is not None:
+        bsh = _bsh(mesh)
+
+        def constrain(b):
+            return jax.lax.with_sharding_constraint(b, bsh)
+
+    def run(g_params, d_params, g_opt, d_opt, pool, key):
+        def body(carry, key_i):
+            g_params, d_params, g_opt, d_opt = carry
+            lr_b, hr_b = sample_batch(pool, key_i)
+            if constrain is not None:
+                lr_b, hr_b = constrain(lr_b), constrain(hr_b)
+            g_params, d_params, g_opt, d_opt, m = step(
+                g_params, d_params, g_opt, d_opt, lr_b, hr_b)
+            return (g_params, d_params, g_opt, d_opt), m
+
+        keys = jax.random.split(key, chunk)
+        carry, metrics = jax.lax.scan(
+            body, (g_params, d_params, g_opt, d_opt), keys)
+        return (*carry, metrics)
+
+    if mesh is None:
+        return jax.jit(run), disc, g_tx, d_tx
+
+    repl = NamedSharding(mesh, P())
+    jitted = jax.jit(run, in_shardings=(repl,) * 6,
                      out_shardings=(repl,) * 5)
     return jitted, disc, g_tx, d_tx

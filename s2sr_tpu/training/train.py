@@ -145,6 +145,37 @@ def make_chunked_train_step(config: TrainConfig, mesh: Optional[Mesh] = None):
     return jitted, tx
 
 
+def make_pool_sampler(scale: int, crop_lr: int, batch: int):
+    """→ ``sample_batch(pool, key) -> (lr_b, hr_b)``: device-side crop
+    sampling from an HBM-resident scene pool (uniform scene, uniform
+    offset, 0.5 h/v-flips, area-×scale degradation). Shared by the L1
+    (:func:`make_device_pool_train_step`) and GAN
+    (:func:`..training.gan.make_device_pool_gan_step`) trainers."""
+    crop_hr = crop_lr * scale
+
+    def sample_batch(pool, key):
+        P, H, W, _ = pool.shape
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        idx = jax.random.randint(k1, (batch,), 0, P)
+        ys = jax.random.randint(k2, (batch,), 0, H - crop_hr + 1)
+        xs = jax.random.randint(k3, (batch,), 0, W - crop_hr + 1)
+        flips = jax.random.bernoulli(k4, shape=(batch, 2))
+
+        def crop_one(i, y, x, f):
+            c = jax.lax.dynamic_slice(
+                pool, (i, y, x, 0), (1, crop_hr, crop_hr, 3))[0]
+            c = jnp.where(f[0], c[::-1], c)
+            c = jnp.where(f[1], c[:, ::-1], c)
+            return c
+
+        hr_b = jax.vmap(crop_one)(idx, ys, xs, flips)
+        lr_b = hr_b.reshape(batch, crop_lr, scale, crop_lr, scale,
+                            3).mean((2, 4))
+        return lr_b, hr_b
+
+    return sample_batch
+
+
 def make_device_pool_train_step(
     config: TrainConfig,
     crop_lr: int,
@@ -177,27 +208,7 @@ def make_device_pool_train_step(
     halo exchanges; sampling itself is replicated (cheap gathers).
     """
     tx = make_optimizer(config)
-    s = config.scale
-    crop_hr = crop_lr * s
-
-    def sample_batch(pool, key):
-        P, H, W, _ = pool.shape
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        idx = jax.random.randint(k1, (batch,), 0, P)
-        ys = jax.random.randint(k2, (batch,), 0, H - crop_hr + 1)
-        xs = jax.random.randint(k3, (batch,), 0, W - crop_hr + 1)
-        flips = jax.random.bernoulli(k4, shape=(batch, 2))
-
-        def crop_one(i, y, x, f):
-            c = jax.lax.dynamic_slice(
-                pool, (i, y, x, 0), (1, crop_hr, crop_hr, 3))[0]
-            c = jnp.where(f[0], c[::-1], c)
-            c = jnp.where(f[1], c[:, ::-1], c)
-            return c
-
-        hr_b = jax.vmap(crop_one)(idx, ys, xs, flips)
-        lr_b = hr_b.reshape(batch, crop_lr, s, crop_lr, s, 3).mean((2, 4))
-        return lr_b, hr_b
+    sample_batch = make_pool_sampler(config.scale, crop_lr, batch)
 
     constrain = None
     if mesh is not None:

@@ -251,19 +251,41 @@ def main() -> None:
     after_gan = None
     if args.gan_steps > 0:
         gcfg = GanConfig(base=config, gan_weight=args.gan_weight)
-        gan_step, disc, g_tx, d_tx = make_gan_train_step(gcfg)
         d_params = UNetDiscriminator(gcfg.num_feat_d).init(
             jax.random.PRNGKey(7))
-        g_opt = g_tx.init(params)
-        d_opt = d_tx.init(d_params)
-        mlist = []
-        for lr_b, hr_b in prefetch(sampler, args.gan_steps):
-            params, d_params, g_opt, d_opt, m = gan_step(
-                params, d_params, g_opt, d_opt, lr_b, hr_b)
-            mlist.append(m)
-        gan_metrics = [
-            {k: float(m[k]) for k in ("g_loss", "d_loss", "pixel", "adv")}
-            for m in mlist]
+        if device_pipe:
+            from s2sr_tpu.training.gan import make_device_pool_gan_step
+
+            chunk_g = min(chunk, args.gan_steps)
+            args.gan_steps -= args.gan_steps % chunk_g
+            gan_run, disc, g_tx, d_tx = make_device_pool_gan_step(
+                gcfg, args.crop, args.batch, chunk_g)
+            g_opt = g_tx.init(params)
+            d_opt = d_tx.init(d_params)
+            key_g = jax.random.PRNGKey(777)
+            mlist = []
+            for _ in range(args.gan_steps // chunk_g):
+                key_g, sub = jax.random.split(key_g)
+                params, d_params, g_opt, d_opt, mm = gan_run(
+                    params, d_params, g_opt, d_opt, pool_dev, sub)
+                mlist.extend(
+                    {k: float(np.asarray(mm[k])[i])
+                     for k in ("g_loss", "d_loss", "pixel", "adv")}
+                    for i in range(chunk_g))
+            gan_metrics = mlist
+        else:
+            gan_step, disc, g_tx, d_tx = make_gan_train_step(gcfg)
+            g_opt = g_tx.init(params)
+            d_opt = d_tx.init(d_params)
+            mlist = []
+            for lr_b, hr_b in prefetch(sampler, args.gan_steps):
+                params, d_params, g_opt, d_opt, m = gan_step(
+                    params, d_params, g_opt, d_opt, lr_b, hr_b)
+                mlist.append(m)
+            gan_metrics = [
+                {k: float(m[k]) for k in ("g_loss", "d_loss", "pixel",
+                                          "adv")}
+                for m in mlist]
         print(f"GAN: {args.gan_steps} steps, "
               f"g_loss {gan_metrics[0]['g_loss']:.4f} -> "
               f"{gan_metrics[-1]['g_loss']:.4f}, "

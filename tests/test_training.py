@@ -122,6 +122,31 @@ def test_device_pool_train_step_sharded(mesh_shape):
     assert losses.shape == (3,) and np.all(np.isfinite(losses))
 
 
+def test_device_pool_gan_step():
+    """GAN twin of the device-pool trainer: K scanned G+D steps per
+    dispatch, metrics stacked (K,), params actually move."""
+    from s2sr_tpu.training.gan import (GanConfig, UNetDiscriminator,
+                                       make_device_pool_gan_step)
+
+    rng = np.random.default_rng(0)
+    pool = rng.random((2, 32, 32, 3)).astype(np.float32)
+    gcfg = GanConfig(base=TINY)
+    g_params, _ = init_training(TINY)
+    d_params = UNetDiscriminator(gcfg.num_feat_d).init(jax.random.PRNGKey(7))
+    run, disc, g_tx, d_tx = make_device_pool_gan_step(
+        gcfg, crop_lr=8, batch=2, chunk=3)
+    g_opt, d_opt = g_tx.init(g_params), d_tx.init(d_params)
+    g2, d2, _, _, m = run(g_params, d_params, g_opt, d_opt, pool,
+                          jax.random.PRNGKey(0))
+    for k in ("g_loss", "d_loss", "pixel", "adv"):
+        v = np.asarray(m[k])
+        assert v.shape == (3,) and np.all(np.isfinite(v))
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(g_params), jax.tree.leaves(g2)))
+    assert moved, "generator params did not update"
+
+
 def test_lr_decay_schedule():
     """lr_decay_steps wires a cosine schedule through make_optimizer:
     the step still trains, and the schedule actually decays."""
