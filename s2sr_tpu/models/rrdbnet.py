@@ -253,6 +253,7 @@ def rrdbnet_apply(
     up_sub_batch: int | None = None,
     mask: jnp.ndarray | None = None,
     body_override: tuple | None = None,
+    remat: bool = False,
 ) -> jnp.ndarray:
     """Forward pass. ``x``: (N, H, W, 3) float in [0, 1] → (N, sH, sW, 3).
 
@@ -322,6 +323,14 @@ def rrdbnet_apply(
 
         def block(carry, block_leaves):          # noqa: F811
             return override_fn(carry, block_leaves, mask), None
+
+    if remat:
+        # Rematerialise each RRDB block on the backward pass: training
+        # the 23-block flagship keeps only one block's activations live
+        # instead of ~345 convs' worth (~16 GB at batch 16 × 48² crops —
+        # over the v5e's HBM). Inference paths never pay the recompute
+        # (remat is a no-op without a gradient).
+        block = jax.checkpoint(block)
 
     body_feat, _ = jax.lax.scan(block, feat, scanned)
     body_feat = _conv(body_feat, params["conv_body"], dtype)

@@ -131,7 +131,8 @@ def _gan_step_parts(config: GanConfig):
     d_tx = optax.adam(config.lr_d)
 
     def generator_loss(g_params, d_params, lr_batch, hr_batch):
-        sr = rrdbnet_apply(g_params, lr_batch, scale=base.scale, dtype=dtype)
+        sr = rrdbnet_apply(g_params, lr_batch, scale=base.scale, dtype=dtype,
+                           remat=base.remat)
         pixel = jnp.mean(jnp.abs(sr - hr_batch))
         feat_sr = perceptual_features(g_params, sr)
         feat_hr = perceptual_features(g_params, hr_batch)

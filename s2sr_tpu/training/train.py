@@ -40,6 +40,10 @@ class TrainConfig:
     # runs converge past the bicubic baseline only with decay; pure
     # fine-tunes can leave it 0 for a constant LR)
     lr_decay_steps: int = 0
+    # rematerialise RRDB blocks on backward — required to train the
+    # 23-block flagship on one 16 GB chip (activations for ~345 convs
+    # at batch 16 x 48^2 crops exceed HBM without it)
+    remat: bool = False
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -52,7 +56,8 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
 
 def loss_fn(params, lr_batch, hr_batch, config: TrainConfig):
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
-    pred = rrdbnet_apply(params, lr_batch, scale=config.scale, dtype=dtype)
+    pred = rrdbnet_apply(params, lr_batch, scale=config.scale, dtype=dtype,
+                         remat=config.remat)
     diff = pred - hr_batch
     if config.charbonnier_eps > 0:
         loss = jnp.mean(jnp.sqrt(diff * diff + config.charbonnier_eps**2))

@@ -69,6 +69,10 @@ def main() -> None:
     ap.add_argument("--blocks", type=int, default=4)
     ap.add_argument("--grow", type=int, default=16)
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialise RRDB blocks on backward — "
+                         "required for the 23-block flagship on one "
+                         "16 GB chip (--feat 64 --blocks 23)")
     ap.add_argument("--eval-size", type=int, default=192,
                     help="held-out LR eval size (HR = 4x)")
     ap.add_argument("--eval-scenes", type=int, default=3)
@@ -111,7 +115,7 @@ def main() -> None:
         print(f"rounding L1 steps down to {args.steps} (chunk {chunk})")
     config = TrainConfig(num_feat=args.feat, num_block=args.blocks,
                          num_grow_ch=args.grow, learning_rate=args.lr,
-                         lr_decay_steps=args.steps)
+                         lr_decay_steps=args.steps, remat=args.remat)
     params, opt_state = init_training(config, seed=0)
     if device_pipe:
         pool_fn, _ = make_device_pool_train_step(
@@ -300,7 +304,7 @@ def main() -> None:
                    "grow": args.grow, "scale": scale, "lr": args.lr,
                    "batch": args.batch, "crop_lr": args.crop,
                    "l1_steps": args.steps, "chunk": chunk,
-                   "pipeline": args.pipeline,
+                   "pipeline": args.pipeline, "remat": args.remat,
                    "gan_steps": args.gan_steps,
                    "pool": args.pool, "gan_weight": args.gan_weight,
                    "eval_lr_size": args.eval_size,

@@ -122,6 +122,24 @@ def test_device_pool_train_step_sharded(mesh_shape):
     assert losses.shape == (3,) and np.all(np.isfinite(losses))
 
 
+def test_remat_matches_no_remat():
+    """jax.checkpoint over the scanned blocks changes memory, not math:
+    identical loss; grads agree to ulp level (the backward recompute
+    reorders float arithmetic, so bitwise equality is not expected)."""
+    from s2sr_tpu.training.train import loss_fn
+    from dataclasses import replace
+
+    params, _ = init_training(TINY)
+    lr, hr = _data()
+    cfg_r = replace(TINY, remat=True)
+    l0, g0 = jax.value_and_grad(loss_fn)(params, lr, hr, TINY)
+    l1, g1 = jax.value_and_grad(loss_fn)(params, lr, hr, cfg_r)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-12)
+
+
 def test_device_pool_gan_step():
     """GAN twin of the device-pool trainer: K scanned G+D steps per
     dispatch, metrics stacked (K,), params actually move."""
