@@ -77,12 +77,12 @@ class SREngine:
         mesh=None,
     ):
         """``dtype``: "bfloat16" (default — pinned byte-identical to the
-        fp32 oracle), "float32", or "int8" — W8A8 quantized RRDB trunk
-        (:mod:`.rrdbnet_int8`), calibrated once at engine build on the
-        synthetic-fields fixture. NOTE: int8 measured ~12% SLOWER than
-        bf16 at chain level on v5e via XLA (BENCH_NOTES int8 section);
-        it is a tested quantization harness, not a v5e throughput
-        mode."""
+        fp32 oracle), "float32", or "int8" — MIXED-precision quantized
+        trunk (:mod:`.rrdbnet_int8`: only the 64->192 stage conv runs
+        int8 on the MXU; +3% measured over bf16 at chain level, the
+        one quantized formulation that wins on v5e — full W8A8 loses
+        12%, BENCH_NOTES int8 section), calibrated once at engine
+        build on the synthetic-fields fixture."""
         _ensure_cache()
         config = get_model_config(model_name)
         if config["family"] not in ("rrdbnet", "swinir"):

@@ -3,15 +3,23 @@
 The v5e MXU advertises 2x int8 throughput over bf16 (394 vs 197 TOPS);
 ``scripts/bench_int8.py`` measured XLA delivering 1.18-1.51x at the
 production packed-RDB conv shapes in ISOLATION (64->192: 1.51x,
-32->wide: 1.18-1.27x). At chain level the win does NOT survive:
-the 12-RDB chain runs 49.4 TF/s-equiv int8 vs 55-57 bf16 (BENCH_NOTES
-round-3 int8 section — ablations attribute ~4% to the scale/round/clip
-glue and ~8% to the int8 convs themselves in context, whose int32
-outputs double the write bytes of bf16 and whose cast pass does not
-fuse into the conv on this backend). The mode is retained as a fully
-tested quantization harness (and for backends where the trade-off
-differs), NOT as a throughput win on v5e via XLA; bf16 stays the
-default and the recommended production dtype.
+32->wide: 1.18-1.27x). Chain-level truth (BENCH_NOTES round-3 int8
+section):
+
+- **full W8A8** (every conv): 49.4 TF/s-equiv vs 55-57 bf16 — LOSES
+  ~12% (ablations: ~4% scale/round/clip glue, ~8% the int8 convs in
+  context — int32 outputs double bf16's write bytes and the cast pass
+  does not fuse into the conv on this backend);
+- **mixed** (ONLY the 64->192 wx conv — 46% of FLOPs, the 1.51x
+  winner — with one quant + one dequant per RDB as the entire glue):
+  56.9 vs 55.2 TF/s same-session — **+3%, the one formulation that
+  beats bf16**, with a far smaller quality delta than full W8A8
+  (one conv quantized instead of five).
+
+Engine ``dtype="int8"`` uses the mixed formulation; the full-W8A8 path
+stays available (``mode="full"``) as the measured-closed harness.
+bf16 remains the default serving dtype — it is the one pinned
+byte-identical to the fp32 oracle.
 
 Scheme (standard symmetric W8A8, chosen for XLA-fusibility):
 
@@ -190,9 +198,79 @@ def _rrdb_i8(x: jnp.ndarray, qblock: QParams, dtype, mask=None) -> jnp.ndarray:
     return out * jnp.asarray(0.2, dtype) + x
 
 
-def quantize_rrdbnet(params: Params, calib: jnp.ndarray) -> QParams:
-    """Calibrate + quantize in one step. ``calib``: (N,H,W,3) in [0,1]."""
-    return quantize_body(params, calibrate_act_scales(params, calib))
+def quantize_body_mixed(params: Params, act_scales: jnp.ndarray) -> QParams:
+    """Mixed-precision quantization: ONLY the 64->192 stage conv (wx —
+    46% of RDB FLOPs, the one conv with a large measured int8 MXU win:
+    1.51x isolated) is quantized; the four 32->wide convs stay in the
+    model dtype. One quant pass on the 64-ch RDB input + one dequant on
+    the 192-ch output per RDB is the entire glue — measured +3% over
+    the bf16 chain (BENCH_NOTES int8 section, i8mix), where full W8A8
+    loses 12%. Float kernels are NOT duplicated here: the mixed forward
+    scans (params['body'], qbody) jointly."""
+    def one_rdb(p, s_act):
+        wx = _pack_rdb_kernels(p)[0]
+        w8, sw = _quantize_kernel(wx)
+        return {"wx8": w8,
+                "deq": (sw * s_act[0]).astype(jnp.float32),
+                "qm": (1.0 / s_act[0]).astype(jnp.float32)}
+
+    def one_block(bp, s_block):
+        return {f"rdb{i + 1}": one_rdb(bp[f"rdb{i + 1}"], s_block[i])
+                for i in range(3)}
+
+    return jax.vmap(one_block)(params["body"], act_scales)
+
+
+def _rdb_packed_mixed(x: jnp.ndarray, p: Params, qp: QParams, dtype,
+                      mask=None) -> jnp.ndarray:
+    """Mixed twin of ``_rdb_packed``: int8 wx conv, bf16 everything
+    else; identical prefix-accumulator structure."""
+    g = p["conv1"]["kernel"].shape[-1]
+    _, w1, w2, w3, w4 = packed_prefix_kernels(p)
+
+    def m(t):
+        return t if mask is None else t * mask
+
+    def b(k):
+        return p[f"conv{k}"]["bias"].astype(dtype)
+
+    def conv(t, w):
+        return jax.lax.conv_general_dilated(
+            t, w.astype(dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    acc = _conv_i8(_quant(x, qp["qm"]), qp["wx8"], qp["deq"], dtype)
+    x1 = m(_lrelu(acc[..., -g:] + b(1)))
+    acc = acc[..., :-g] + conv(x1, w1)
+    x2 = m(_lrelu(acc[..., -g:] + b(2)))
+    acc = acc[..., :-g] + conv(x2, w2)
+    x3 = m(_lrelu(acc[..., -g:] + b(3)))
+    acc = acc[..., :-g] + conv(x3, w3)
+    x4 = m(_lrelu(acc[..., -g:] + b(4)))
+    x5 = acc[..., :-g] + conv(x4, w4) + b(5)
+    return m(x5 * jnp.asarray(0.2, dtype) + x)
+
+
+def _rrdb_mixed(x, bp, qb, dtype, mask=None):
+    out = _rdb_packed_mixed(x, bp["rdb1"], qb["rdb1"], dtype, mask)
+    out = _rdb_packed_mixed(out, bp["rdb2"], qb["rdb2"], dtype, mask)
+    out = _rdb_packed_mixed(out, bp["rdb3"], qb["rdb3"], dtype, mask)
+    return out * jnp.asarray(0.2, dtype) + x
+
+
+def quantize_rrdbnet(params: Params, calib: jnp.ndarray,
+                     mode: str = "mixed") -> QParams:
+    """Calibrate + quantize in one step. ``calib``: (N,H,W,3) in [0,1].
+
+    ``mode``: "mixed" (default — the only formulation that beats bf16,
+    +3%) or "full" (all five convs W8A8 — the measured-closed harness,
+    −12% but maximal quantization coverage)."""
+    scales = calibrate_act_scales(params, calib)
+    if mode == "mixed":
+        return quantize_body_mixed(params, scales)
+    if mode == "full":
+        return quantize_body(params, scales)
+    raise ValueError(f"unknown int8 mode {mode!r}")
 
 
 def rrdbnet_apply_int8(
@@ -203,13 +281,24 @@ def rrdbnet_apply_int8(
     dtype: jnp.dtype = jnp.bfloat16,
     up_sub_batch: int | None = None,
     mask: jnp.ndarray | None = None,
+    mode: str = "mixed",
 ) -> jnp.ndarray:
-    """Forward pass with the int8 trunk; glue (conv_first/body/upsample,
-    masking, sub-batched tail) shared with :func:`.rrdbnet.rrdbnet_apply`
-    via ``body_override``."""
-    def block_fn(carry, qblock, m):
-        return _rrdb_i8(carry, qblock, dtype, m)
+    """Forward pass with the quantized trunk; glue (conv_first/body/
+    upsample, masking, sub-batched tail) shared with
+    :func:`.rrdbnet.rrdbnet_apply` via ``body_override``. ``mode`` must
+    match the mode ``qbody`` was built with (:func:`quantize_rrdbnet`)."""
+    if mode == "mixed":
+        def block_fn(carry, leaves, m):
+            bp, qb = leaves
+            return _rrdb_mixed(carry, bp, qb, dtype, m)
+
+        scanned = (params["body"], qbody)
+    else:
+        def block_fn(carry, qblock, m):
+            return _rrdb_i8(carry, qblock, dtype, m)
+
+        scanned = qbody
 
     return rrdbnet_apply(
         params, x, scale=scale, dtype=dtype, up_sub_batch=up_sub_batch,
-        mask=mask, body_override=(block_fn, qbody))
+        mask=mask, body_override=(block_fn, scanned))

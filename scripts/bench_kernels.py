@@ -311,6 +311,48 @@ def main() -> None:
             return acc * jnp.bfloat16(1e-4) + x
 
         fns["i8noq"] = chain(rdb_i8noq)
+    if "i8mix" in variants:
+        # mixed-precision probe: quantize ONLY the 64->192 stage conv
+        # (46% of FLOPs, the 1.51x isolated int8 winner) — one quant
+        # pass on the 64-ch input + one dequant on its output; the four
+        # 32->wide convs stay bf16 (their isolated gains are smaller
+        # and each would add its own glue).
+        from s2sr_tpu.models.rrdbnet_int8 import (_pack_rdb_kernels,
+                                                  _quantize_kernel)
+
+        ws_m = _pack_rdb_kernels(p)
+        wx8, sx_w = _quantize_kernel(ws_m[0])
+        deq_x = (sx_w / 127.0).astype(jnp.float32)
+        wb_m = tuple(w.astype(jnp.bfloat16) for w in ws_m[1:])
+        b_m = tuple(p[f"conv{k}"]["bias"].astype(jnp.bfloat16)
+                    for k in range(1, 6))
+
+        def conv_bf(x, w):
+            return jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        def rdb_i8mix(x):
+            g = 32
+            lrelu = lambda t: jnp.where(t >= 0, t, t * jnp.bfloat16(0.2))
+            x8 = jnp.clip(jnp.round(x.astype(jnp.float32) * 127.0),
+                          -127, 127).astype(jnp.int8)
+            out = jax.lax.conv_general_dilated(
+                x8, wx8, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32)
+            acc = (out.astype(jnp.float32) * deq_x).astype(jnp.bfloat16)
+            x1 = lrelu(acc[..., -g:] + b_m[0])
+            acc = acc[..., :-g] + conv_bf(x1, wb_m[0])
+            x2 = lrelu(acc[..., -g:] + b_m[1])
+            acc = acc[..., :-g] + conv_bf(x2, wb_m[1])
+            x3 = lrelu(acc[..., -g:] + b_m[2])
+            acc = acc[..., :-g] + conv_bf(x3, wb_m[2])
+            x4 = lrelu(acc[..., -g:] + b_m[3])
+            x5 = acc[..., :-g] + conv_bf(x4, wb_m[3]) + b_m[4]
+            return x5 * jnp.bfloat16(0.2) + x
+
+        fns["i8mix"] = chain(rdb_i8mix)
 
     useful = b * h * w * FLOPS_PER_PX_RDB * R
     for name, fn in fns.items():

@@ -63,10 +63,12 @@ def test_quant_maps_zero_to_zero():
     assert q[0, 0] == 0 and q[0, 1] == 127 and q[0, 2] == -127
 
 
-def test_int8_forward_tracks_float():
-    """Full int8 forward vs fp32 on adversarial (unscaled) weights:
-    bounded quantization error, and the error is REAL (the int8 trunk is
-    actually engaged — corrupting it changes the output)."""
+@pytest.mark.parametrize("mode", ["mixed", "full"])
+def test_int8_forward_tracks_float(mode):
+    """Quantized forward vs fp32 on adversarial (unscaled) weights:
+    bounded quantization error, and the error is REAL (the quantized
+    conv is actually engaged — corrupting it changes the output).
+    Mixed mode (one conv quantized) must beat full W8A8 quality."""
     from s2sr_tpu.models.rrdbnet import rrdbnet_apply
     from s2sr_tpu.models.rrdbnet_int8 import (quantize_rrdbnet,
                                               rrdbnet_apply_int8)
@@ -75,18 +77,37 @@ def test_int8_forward_tracks_float():
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.random((1, 40, 36, 3)), jnp.float32)
     calib = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
-    qbody = quantize_rrdbnet(params, calib)
+    qbody = quantize_rrdbnet(params, calib, mode=mode)
 
     ref = np.clip(np.asarray(rrdbnet_apply(params, x, dtype=jnp.float32)), 0, 1)
-    got = np.clip(np.asarray(
-        rrdbnet_apply_int8(params, qbody, x, dtype=jnp.float32)), 0, 1)
+    got = np.clip(np.asarray(rrdbnet_apply_int8(
+        params, qbody, x, dtype=jnp.float32, mode=mode)), 0, 1)
     p = _psnr(got, ref)
-    assert p > 35.0, f"int8 quality too low: {p:.1f} dB"
+    assert p > 35.0, f"{mode} quality too low: {p:.1f} dB"
 
     zeroed = jax.tree.map(jnp.zeros_like, qbody)
-    dead = np.clip(np.asarray(
-        rrdbnet_apply_int8(params, zeroed, x, dtype=jnp.float32)), 0, 1)
-    assert np.abs(dead - got).max() > 1e-3, "int8 trunk not engaged"
+    dead = np.clip(np.asarray(rrdbnet_apply_int8(
+        params, zeroed, x, dtype=jnp.float32, mode=mode)), 0, 1)
+    assert np.abs(dead - got).max() > 1e-3, "quantized conv not engaged"
+
+
+def test_mixed_beats_full_quality():
+    from s2sr_tpu.models.rrdbnet import rrdbnet_apply
+    from s2sr_tpu.models.rrdbnet_int8 import (quantize_rrdbnet,
+                                              rrdbnet_apply_int8)
+
+    params = _tiny_params()
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, 40, 36, 3)), jnp.float32)
+    calib = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    ref = np.clip(np.asarray(rrdbnet_apply(params, x, dtype=jnp.float32)), 0, 1)
+    psnrs = {}
+    for mode in ("mixed", "full"):
+        q = quantize_rrdbnet(params, calib, mode=mode)
+        out = np.clip(np.asarray(rrdbnet_apply_int8(
+            params, q, x, dtype=jnp.float32, mode=mode)), 0, 1)
+        psnrs[mode] = _psnr(out, ref)
+    assert psnrs["mixed"] > psnrs["full"], psnrs
 
 
 def test_int8_engine_serving_uint8_identical(tmp_path):
