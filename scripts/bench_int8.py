@@ -134,6 +134,9 @@ def bench_conv(b: int, hw: int, cin: int, cout: int, runs: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--conv-only", action="store_true")
+    ap.add_argument("--swinir", action="store_true",
+                    help="probe SwinIR's dominant matmul shapes instead "
+                         "(QKV/proj/MLP at the 4x288^2 window batch)")
     ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
     try:
@@ -144,6 +147,15 @@ def main() -> None:
         pass
     import json
 
+    if args.swinir:
+        # SwinIR-M x4 at the production window batch (4x288^2 -> 5184
+        # windows of 64 tokens, C=180): QKV 180->540, proj 180->180,
+        # MLP 180->360 and 360->180. Attention QK^T itself (head-dim 30
+        # contraction) is not probed — 30 pads to 128 lanes either way.
+        m = 5184 * 64
+        for k, n in ((180, 540), (180, 180), (180, 360), (360, 180)):
+            print(json.dumps(bench_matmul(m, k, n, args.runs)), flush=True)
+        return
     if not args.conv_only:
         for m, k, n in ((27840, 128, 128), (27840, 192, 192),
                         (27840, 96, 160), (27840, 288, 128)):
