@@ -63,7 +63,8 @@ def main() -> None:
     from s2sr_tpu.training.train import (TrainConfig, batch_sharding,
                                          init_training,
                                          make_device_pool_train_step,
-                                         make_train_step)
+                                         make_train_step,
+                                         restore_flexible)
     from s2sr_tpu.utils.jax_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -81,8 +82,10 @@ def main() -> None:
     mesh = build_mesh(args.mesh) if args.mesh else None
     params, opt_state = init_training(config)
     if args.resume and mgr.latest_step is not None:
-        params, opt_state, start = mgr.restore(params, opt_state)
-        print(f"resumed from step {start}")
+        params, opt_state, start, opt_ok = restore_flexible(mgr, config)
+        print(f"resumed from step {start}"
+              + ("" if opt_ok else
+                 " (schedule kind changed — optimizer state reset)"))
 
     # --- HR pool ------------------------------------------------------
     crop_hr = args.crop * config.scale

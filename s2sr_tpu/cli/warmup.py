@@ -50,33 +50,45 @@ def main() -> None:
     rng = np.random.default_rng(0)
     from s2sr_tpu.models.engine import get_engine
 
+    engine = None
     for model in args.models.split(","):
         kwargs = {"dtype": args.dtype} if args.dtype else {}
         engine = get_engine(model.strip(), **kwargs)
-        # bucketed serving (the one chunk executable) + masked bucket
-        # (exact small images) + an awkward size exercising both
+        # small awkward size → the masked-bucket executable (exact
+        # serving for small uploads)
         engine.enhance_serving(
             rng.integers(0, 255, (150, 130, 3)).astype(np.uint8))
-        tick(f"{model}: bucketed+masked serving")
+        tick(f"{model}: masked-bucket serving")
         if args.full_size:
-            engine.enhance(rng.integers(
+            big = rng.integers(
                 0, 255, (args.full_size, args.full_size, 3)
-            ).astype(np.uint8))
+            ).astype(np.uint8)
+            # large size → the bucketed TILED path: _run_chunked's
+            # power-of-two chunk executables (the server's primary hot
+            # path for big uploads)
+            engine.enhance_serving(big)
+            tick(f"{model}: chunked tiled serving {args.full_size}^2")
+            # and the monolithic per-shape whole-image executable the
+            # device-side enhance()/pipeline path uses
+            engine.enhance(big)
             tick(f"{model}: tiled {args.full_size}^2")
 
     if args.skip_aux:
         print(f"warmup done in {time.monotonic() - t0:.0f}s")
         return
 
-    import jax
     import jax.numpy as jnp
 
     from s2sr_tpu.ops.enhance import enhance_farm, enhance_for_crops
 
-    img = jnp.asarray(rng.integers(0, 255, (512, 512, 3)).astype(np.uint8))
-    np.asarray(jax.jit(enhance_for_crops)(img))
+    # enhancement runs on the SR OUTPUT (scale × the scene side) — warm
+    # the shape the flagship pipeline actually hits, not the input size
+    sr_side = (engine.scale if engine is not None else 4) * 512
+    img = jnp.asarray(
+        rng.integers(0, 255, (sr_side, sr_side, 3)).astype(np.uint8))
+    np.asarray(enhance_for_crops(img))
     np.asarray(enhance_farm(img))
-    tick("WOW + farm enhancement chains")
+    tick(f"WOW + farm enhancement chains ({sr_side}^2)")
 
     from s2sr_tpu.fetch.synthetic import synthetic_scene
     from s2sr_tpu.tiles.pyramid import warp_tiles_device_benchmark
@@ -84,6 +96,15 @@ def main() -> None:
     scene = synthetic_scene(size=(512, 512), seed=0)
     warp_tiles_device_benchmark(scene, zoom=13, batch=32)
     tick("tile warp")
+
+    from s2sr_tpu.vectors.extraction import (ExtractionConfig,
+                                             compute_green_mask_hsv,
+                                             segment_fields)
+
+    vcfg = ExtractionConfig()
+    mask = compute_green_mask_hsv(scene, vcfg)
+    segment_fields(mask, vcfg)
+    tick("vector mask + segmentation chains")
 
     print(f"warmup done in {time.monotonic() - t0:.0f}s")
 

@@ -26,6 +26,15 @@ from ..utils import setup_logging
 logger = setup_logging("s2sr_tpu.data")
 
 
+def area_downsample(hr: np.ndarray, scale: int) -> np.ndarray:
+    """Area-average ×scale downsample of one (H, W, C) image — THE
+    training degradation (the sampler applies the batched equivalent;
+    the demo and trained-weights eval import this so train and eval
+    degradations cannot drift apart)."""
+    h, w, c = hr.shape
+    return hr.reshape(h // scale, scale, w // scale, scale, c).mean((1, 3))
+
+
 class PairSampler:
     """Random HR crops + synthetic LR counterparts."""
 

@@ -150,6 +150,33 @@ def make_chunked_train_step(config: TrainConfig, mesh: Optional[Mesh] = None):
     return jitted, tx
 
 
+def restore_flexible(mgr, config: TrainConfig):
+    """Restore from a checkpoint whose LR-schedule kind may differ from
+    ``config``'s → ``(params, opt_state, step, opt_restored)``.
+
+    A cosine schedule adds ``ScaleByScheduleState`` to the Adam state,
+    so a checkpoint trained with decay cannot restore against a
+    constant-LR template (and vice versa). If ``config``'s own template
+    mismatches, the checkpoint is read with the other kind's template
+    and ``config``'s optimizer state is freshly initialized for the
+    restored params (Adam moments reset — ``opt_restored`` is False so
+    callers can warn); params always restore.
+    """
+    from dataclasses import replace
+
+    params, opt_state = init_training(config)
+    try:
+        p, o, step = mgr.restore(params, opt_state)
+        return p, o, step, True
+    except ValueError:                   # opt-state tree mismatch
+        pass
+    alt = replace(config,
+                  lr_decay_steps=0 if config.lr_decay_steps else 1)
+    p_alt, o_alt = init_training(alt)
+    p, _, step = mgr.restore(p_alt, o_alt)
+    return p, make_optimizer(config).init(p), step, False
+
+
 def make_pool_sampler(scale: int, crop_lr: int, batch: int):
     """→ ``sample_batch(pool, key) -> (lr_b, hr_b)``: device-side crop
     sampling from an HBM-resident scene pool (uniform scene, uniform

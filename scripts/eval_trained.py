@@ -55,23 +55,14 @@ def main() -> None:
     from s2sr_tpu.models.engine import SREngine
     from s2sr_tpu.models.weights import save_params
     from s2sr_tpu.training.checkpoint import CheckpointManager
-    from s2sr_tpu.training.train import TrainConfig, init_training
+    from s2sr_tpu.training.data import area_downsample
+    from s2sr_tpu.training.train import TrainConfig, restore_flexible
     from s2sr_tpu.utils.metrics import psnr, ssim
 
-    # the opt-state template must match the optimizer the checkpoint was
-    # trained with (a cosine schedule adds ScaleByScheduleState) — try
-    # the scheduled template first, fall back to constant-LR
     mgr = CheckpointManager(args.ckpt_dir)
-    for decay in (1, 0):
-        cfg = TrainConfig(num_feat=args.feat, num_block=args.blocks,
-                          num_grow_ch=args.grow, lr_decay_steps=decay)
-        p0, o0 = init_training(cfg, seed=0)
-        try:
-            params, _, step = mgr.restore(p0, o0)
-            break
-        except ValueError:
-            if decay == 0:
-                raise
+    cfg = TrainConfig(num_feat=args.feat, num_block=args.blocks,
+                      num_grow_ch=args.grow, lr_decay_steps=1)
+    params, _, step, _ = restore_flexible(mgr, cfg)
     print(f"restored step {step} from {args.ckpt_dir}")
 
     weights_dir = Path("/tmp/eval_trained_weights")
@@ -82,17 +73,13 @@ def main() -> None:
                       dtype=args.dtype, bgr_order=False)
     assert engine.pretrained, "engine must load the written weights"
 
-    def area_down(hr: np.ndarray, s: int) -> np.ndarray:
-        h, w, c = hr.shape
-        return hr.reshape(h // s, s, w // s, s, c).mean((1, 3))
-
     scale = engine.scale
     rows = []
     for i in range(args.eval_scenes):
         hr_u8 = synthetic_fields(size=(args.eval_size * scale,) * 2,
                                  seed=100_000 + i)
         lr_u8 = np.clip(np.round(
-            area_down(hr_u8.astype(np.float32), scale)), 0, 255
+            area_downsample(hr_u8.astype(np.float32), scale)), 0, 255
         ).astype(np.uint8)
         sr_u8 = engine.enhance(lr_u8)           # the real serving path
         bi_u8 = cv2.resize(lr_u8, hr_u8.shape[1::-1],

@@ -38,8 +38,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def area_down(hr: np.ndarray, scale: int) -> np.ndarray:
-    h, w, c = hr.shape
-    return hr.reshape(h // scale, scale, w // scale, scale, c).mean((1, 3))
+    from s2sr_tpu.training.data import area_downsample
+
+    return area_downsample(hr, scale)
 
 
 def main() -> None:
