@@ -45,6 +45,12 @@ def main() -> None:
     parser.add_argument("--pool", type=int, default=48,
                         help="synthetic HR pool scenes (ignored with "
                              "--data-dir)")
+    parser.add_argument("--blur-sigma", type=float, default=0.0,
+                        help="gaussian blur on the LR (the 'real' "
+                             "degradation; 0 = area-only)")
+    parser.add_argument("--noise-std", type=float, default=0.0,
+                        help="gaussian noise std on the LR in [0,1] "
+                             "units")
     parser.add_argument("--ckpt-dir", default="checkpoints/rrdbnet")
     parser.add_argument("--save-every", type=int, default=2000,
                         help="checkpoint every N steps")
@@ -121,7 +127,8 @@ def main() -> None:
             for p in pool]).astype(np.float32) / 255.0
         pool_dev = jnp.asarray(pool_np)
         run, _ = make_device_pool_train_step(
-            config, args.crop, args.batch, chunk, mesh=mesh)
+            config, args.crop, args.batch, chunk, mesh=mesh,
+            blur_sigma=args.blur_sigma, noise_std=args.noise_std)
         key = jax.random.PRNGKey(start)
         for gi in range(args.steps // chunk):
             key, sub = jax.random.split(key)
@@ -139,25 +146,16 @@ def main() -> None:
             if done % args.save_every < chunk and done != args.steps:
                 mgr.save(start + done, params, opt_state)
     else:
-        step_fn, _ = make_train_step(config, mesh)
-        rng = np.random.default_rng(start)
+        from s2sr_tpu.training.data import PairSampler
 
-        def sample_batch():
-            hrs = []
-            for _ in range(args.batch):
-                src = pool[rng.integers(len(pool))]
-                y = rng.integers(0, src.shape[0] - crop_hr + 1)
-                x = rng.integers(0, src.shape[1] - crop_hr + 1)
-                hrs.append(src[y:y + crop_hr, x:x + crop_hr]
-                           .astype(np.float32) / 255.0)
-            hr = np.stack(hrs)
-            s = config.scale
-            lr_b = hr.reshape(args.batch, args.crop, s, args.crop, s,
-                              3).mean((2, 4))
-            return jnp.asarray(lr_b), jnp.asarray(hr)
+        step_fn, _ = make_train_step(config, mesh)
+        sampler = PairSampler(hr_images=pool, crop_lr=args.crop,
+                              scale=config.scale, batch_size=args.batch,
+                              blur_sigma=args.blur_sigma,
+                              noise_std=args.noise_std, seed=start)
 
         for i in range(args.steps):
-            lr_b, hr_b = sample_batch()
+            lr_b, hr_b = (jnp.asarray(a) for a in sampler.sample())
             if mesh is not None:
                 sh = batch_sharding(mesh)
                 lr_b = jax.device_put(lr_b, sh)

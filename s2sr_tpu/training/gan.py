@@ -197,6 +197,8 @@ def make_device_pool_gan_step(
     batch: int,
     chunk: int,
     mesh: Optional[Mesh] = None,
+    blur_sigma: float = 0.0,
+    noise_std: float = 0.0,
 ):
     """Device-resident GAN trainer: K scanned G+D steps per dispatch,
     batches sampled on device from an HBM pool — the GAN twin of
@@ -209,7 +211,8 @@ def make_device_pool_gan_step(
     from .train import batch_sharding as _bsh, make_pool_sampler
 
     step, disc, g_tx, d_tx = _gan_step_parts(config)
-    sample_batch = make_pool_sampler(config.base.scale, crop_lr, batch)
+    sample_batch = make_pool_sampler(config.base.scale, crop_lr, batch,
+                                     blur_sigma, noise_std)
 
     constrain = None
     if mesh is not None:

@@ -177,17 +177,20 @@ def restore_flexible(mgr, config: TrainConfig):
     return p, make_optimizer(config).init(p), step, False
 
 
-def make_pool_sampler(scale: int, crop_lr: int, batch: int):
+def make_pool_sampler(scale: int, crop_lr: int, batch: int,
+                      blur_sigma: float = 0.0, noise_std: float = 0.0):
     """→ ``sample_batch(pool, key) -> (lr_b, hr_b)``: device-side crop
     sampling from an HBM-resident scene pool (uniform scene, uniform
-    offset, 0.5 h/v-flips, area-×scale degradation). Shared by the L1
+    offset, 0.5 h/v-flips, area-×scale degradation; optional gaussian
+    blur + noise on the LR — the same "real" degradation knobs as the
+    host :class:`..training.data.PairSampler`). Shared by the L1
     (:func:`make_device_pool_train_step`) and GAN
     (:func:`..training.gan.make_device_pool_gan_step`) trainers."""
     crop_hr = crop_lr * scale
 
     def sample_batch(pool, key):
         P, H, W, _ = pool.shape
-        k1, k2, k3, k4 = jax.random.split(key, 4)
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
         idx = jax.random.randint(k1, (batch,), 0, P)
         ys = jax.random.randint(k2, (batch,), 0, H - crop_hr + 1)
         xs = jax.random.randint(k3, (batch,), 0, W - crop_hr + 1)
@@ -203,6 +206,13 @@ def make_pool_sampler(scale: int, crop_lr: int, batch: int):
         hr_b = jax.vmap(crop_one)(idx, ys, xs, flips)
         lr_b = hr_b.reshape(batch, crop_lr, scale, crop_lr, scale,
                             3).mean((2, 4))
+        if blur_sigma > 0:
+            from ..ops.blur import gaussian_blur
+
+            lr_b = jax.vmap(lambda im: gaussian_blur(im, blur_sigma))(lr_b)
+        if noise_std > 0:
+            lr_b = lr_b + noise_std * jax.random.normal(
+                k5, lr_b.shape, lr_b.dtype)
         return lr_b, hr_b
 
     return sample_batch
@@ -214,6 +224,8 @@ def make_device_pool_train_step(
     batch: int,
     chunk: int,
     mesh: Optional[Mesh] = None,
+    blur_sigma: float = 0.0,
+    noise_std: float = 0.0,
 ):
     """Fully device-resident input pipeline + K-step scan trainer.
 
@@ -240,7 +252,8 @@ def make_device_pool_train_step(
     halo exchanges; sampling itself is replicated (cheap gathers).
     """
     tx = make_optimizer(config)
-    sample_batch = make_pool_sampler(config.scale, crop_lr, batch)
+    sample_batch = make_pool_sampler(config.scale, crop_lr, batch,
+                                     blur_sigma, noise_std)
 
     constrain = None
     if mesh is not None:

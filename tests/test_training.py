@@ -140,6 +140,25 @@ def test_remat_matches_no_remat():
                                    rtol=1e-5, atol=1e-12)
 
 
+def test_pool_sampler_degradation_knobs():
+    """Device sampler's blur/noise knobs actually change the LR and
+    preserve shapes (parity with the host PairSampler options)."""
+    from s2sr_tpu.training.train import make_pool_sampler
+
+    rng = np.random.default_rng(0)
+    pool = rng.random((2, 32, 32, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(5)
+    plain = make_pool_sampler(2, 8, 4)(pool, key)
+    blurred = make_pool_sampler(2, 8, 4, blur_sigma=1.0)(pool, key)
+    noisy = make_pool_sampler(2, 8, 4, noise_std=0.05)(pool, key)
+    # same key → same crops; HR identical, LR differs by the knob
+    np.testing.assert_array_equal(np.asarray(plain[1]),
+                                  np.asarray(blurred[1]))
+    assert np.abs(np.asarray(plain[0]) - np.asarray(blurred[0])).max() > 1e-4
+    assert np.abs(np.asarray(plain[0]) - np.asarray(noisy[0])).max() > 1e-3
+    assert blurred[0].shape == plain[0].shape == (4, 8, 8, 3)
+
+
 def test_device_pool_gan_step():
     """GAN twin of the device-pool trainer: K scanned G+D steps per
     dispatch, metrics stacked (K,), params actually move."""
