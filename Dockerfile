@@ -40,4 +40,11 @@ EXPOSE 8080
 HEALTHCHECK --interval=30s --timeout=5s --retries=3 \
     CMD curl -sf http://localhost:8080/health || exit 1
 
+# On TPU nodes, precompile the production executables into the
+# persistent XLA cache before taking traffic (cold compiles of the
+# 23-block model run minutes through a compile service — measured
+# first-pipeline 69 s cold vs 13 s warm). Run as an initContainer or a
+# pre-start hook sharing S2SR_JAX_CACHE:
+#   python -m s2sr_tpu.cli.warmup
+
 CMD ["python", "-m", "s2sr_tpu.cli.serve"]
