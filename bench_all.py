@@ -118,6 +118,23 @@ def main():
     dt = time.perf_counter() - t0
     emit("5_vector_extraction", dt, features=res["feature_count"])
 
+    # config 6: int8 turbo serving (mixed-precision trunk — the opt-in
+    # dtype; regression-tracks the +4.4% over bf16, BENCH_NOTES int8)
+    import numpy as np
+
+    big = 512 if args.quick else 1024
+    img = np.asarray(synthetic_scene(size=(big, big), seed=3).data)
+    turbo = SREngine("realesrgan_x4", weights_dir="models",
+                     dtype="int8", tile_pad=4)
+    xb = jnp.asarray(img)
+    sync(turbo.enhance_device(xb))                      # compile
+    t0 = time.perf_counter()
+    outs = [turbo.enhance_device(xb) for _ in range(3)]
+    for o in outs:
+        sync(o)
+    dt = (time.perf_counter() - t0) / 3
+    emit("6_int8_turbo", dt, mpix_s=round(big * big / dt / 1e6, 3))
+
 
 if __name__ == "__main__":
     main()

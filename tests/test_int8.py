@@ -154,6 +154,26 @@ def test_int8_engine_quality_vs_float(tmp_path):
     assert p > 35.0, f"int8 engine quality too low: {p:.1f} dB"
 
 
+def test_int8_coalesced_serving_matches_individual(tmp_path):
+    """enhance_serving_many under the int8 engine == per-image serving
+    (the batch-coalescing path reuses the same quantized chunk
+    executables)."""
+    from s2sr_tpu.models.engine import SREngine
+    from s2sr_tpu.models.weights import save_params
+
+    params = _tiny_params()
+    weights_dir = tmp_path / "w"
+    save_params(params, weights_dir / "realesrgan_x4.npz")
+    engine = SREngine("realesrgan_x4", weights_dir=weights_dir,
+                      dtype="int8", tile_size=48, tile_pad=4, batch_size=4)
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (40, 40, 3)).astype(np.uint8),
+            rng.integers(0, 256, (50, 42, 3)).astype(np.uint8)]
+    many = engine.enhance_serving_many(imgs)
+    for img, out in zip(imgs, many):
+        np.testing.assert_array_equal(out, engine.enhance_serving(img))
+
+
 def test_int8_rejects_swinir(tmp_path):
     from s2sr_tpu.models.engine import SREngine
 
