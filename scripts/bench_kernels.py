@@ -353,6 +353,76 @@ def main() -> None:
             return x5 * jnp.bfloat16(0.2) + x
 
         fns["i8mix"] = chain(rdb_i8mix)
+    if "wino" in variants:
+        # Winograd F(2×2,3×3) probe — the one conv formulation class
+        # not yet measured on this chain. Each 3×3 conv becomes 16
+        # batched matmuls over BᵀdB-transformed 4×4 tiles (2.25× fewer
+        # MACs than direct), but the transformed operand V
+        # [16,N,H/2,W/2,C] and product M round-trip HBM: arithmetic
+        # intensity drops from ~190 to ~8 FLOP/byte, so the roofline
+        # predicts a bandwidth-bound loss (~6 TF/s GEMM-rate ≈ ~14
+        # direct-equivalent vs 57 direct). Measured to close the avenue
+        # with data rather than a projection; fp32 gate vs _rdb below
+        # (Winograd is not bit-exact — transform rounding — hence a
+        # probe, never a production candidate for the byte-exact pin).
+        from s2sr_tpu.models.rrdbnet import _lrelu, packed_prefix_kernels
+
+        Bt = jnp.array([[1, 0, -1, 0], [0, 1, 1, 0],
+                        [0, -1, 1, 0], [0, 1, 0, -1]], jnp.float32)
+        Gw = jnp.array([[1, 0, 0], [.5, .5, .5],
+                        [.5, -.5, .5], [0, 0, 1]], jnp.float32)
+        At = jnp.array([[1, 1, 1, 0], [0, 1, -1, -1]], jnp.float32)
+
+        def wino_u(wk, dtype):
+            return jnp.einsum("ur,rsco,vs->uvco", Gw,
+                              wk.astype(jnp.float32), Gw).astype(dtype)
+
+        def wino_conv(t, U, dtype):
+            n, hh, ww, c = t.shape
+            o = U.shape[-1]
+            tp = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            th, tw = hh // 2, ww // 2
+            d = jnp.stack([tp[:, r:r + 2 * th:2, s:s + 2 * tw:2, :]
+                           for r in range(4) for s in range(4)])
+            d = d.reshape(4, 4, n, th, tw, c)
+            btd = Bt.astype(dtype)
+            v = jnp.einsum("ur,rsnhwc->usnhwc", btd, d)
+            v = jnp.einsum("usnhwc,vs->uvnhwc", v, btd)
+            m_ = jnp.einsum("uvnhwc,uvco->uvnhwo", v, U)
+            atd = At.astype(dtype)
+            y = jnp.einsum("iu,uvnhwo->ivnhwo", atd, m_)
+            y = jnp.einsum("ivnhwo,jv->nhiwjo", y, atd)
+            return y.reshape(n, hh, ww, o)
+
+        def make_wino_rdb(pp, dtype):
+            Us = tuple(wino_u(wk, dtype)
+                       for wk in packed_prefix_kernels(pp))
+            bs = tuple(pp[f"conv{k}"]["bias"].astype(dtype)
+                       for k in range(1, 6))
+
+            def rdb_w(t):
+                g_ = 32
+                acc = wino_conv(t, Us[0], dtype)
+                x1 = _lrelu(acc[..., -g_:] + bs[0])
+                acc = acc[..., :-g_] + wino_conv(x1, Us[1], dtype)
+                x2 = _lrelu(acc[..., -g_:] + bs[1])
+                acc = acc[..., :-g_] + wino_conv(x2, Us[2], dtype)
+                x3 = _lrelu(acc[..., -g_:] + bs[2])
+                acc = acc[..., :-g_] + wino_conv(x3, Us[3], dtype)
+                x4 = _lrelu(acc[..., -g_:] + bs[3])
+                x5 = acc[..., :-g_] + wino_conv(x4, Us[4], dtype) + bs[4]
+                return x5 * jnp.asarray(0.2, dtype) + t
+
+            return rdb_w
+
+        if not args.skip_gate:
+            want_w = want if want is not None else np.asarray(
+                _rdb(xs, p, jnp.float32))
+            got = np.asarray(make_wino_rdb(p, jnp.float32)(xs))
+            err = float(np.abs(got - want_w).max())
+            print(json.dumps({"check": "wino_close", "max_err": err}))
+            assert err < 1e-3, f"winograd transform wrong: {err}"
+        fns["wino"] = chain(make_wino_rdb(p, jnp.bfloat16))
 
     useful = b * h * w * FLOPS_PER_PX_RDB * R
     for name, fn in fns.items():
