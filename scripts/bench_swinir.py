@@ -23,6 +23,51 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from s2sr_tpu.models import swinir as sw
+
+sw._attention_orig = sw._attention
+
+
+def attention_paired(xx, p, num_heads, window, bias_idx, mask):
+    """Candidate to ship: fuse 2 windows into one 128-token
+    pseudo-window. The MXU's lane dim is 128; N=64 windows fill
+    half of it on both score dims. Pairing fills M and N exactly
+    (2x the score FLOPs, on off-window blocks killed by a -1e9
+    additive -> softmax weights exactly 0.0, so the math is exact:
+    a float sum is unchanged by interspersed +0.0 terms). Halves
+    the batched-dot count and doubles the AV contraction to
+    K=128."""
+    bw, n, c = xx.shape
+    if bw % 2:
+        return sw._attention_orig(xx, p, num_heads, window, bias_idx, mask)
+    head_dim = c // num_heads
+    n2 = 2 * n
+    x2 = xx.reshape(bw // 2, n2, c)
+    qkv = sw._linear(x2, p["qkv"]).reshape(bw // 2, n2, 3, num_heads,
+                                           head_dim)
+    q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)]
+    q = q * (head_dim ** -0.5)
+    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                      preferred_element_type=v.dtype)
+    bias = p["relative_position_bias_table"][bias_idx]   # (n, n, h)
+    big = jnp.tile(bias.transpose(2, 0, 1), (1, 2, 2))   # (h, 2n, 2n)
+    off = np.full((n2, n2), -1e9, np.float32)
+    off[:n, :n] = 0.0
+    off[n:, n:] = 0.0
+    attn = attn + (big[None] + jnp.asarray(off)).astype(attn.dtype)
+    if mask is not None:
+        nw = mask.shape[0]
+        mr = mask.reshape(nw // 2, 2, n, n)
+        m2 = jnp.zeros((nw // 2, n2, n2), mask.dtype)
+        m2 = m2.at[:, :n, :n].set(mr[:, 0]).at[:, n:, n:].set(mr[:, 1])
+        attn = attn.reshape(-1, nw // 2, num_heads, n2, n2) \
+            + m2[None, :, None].astype(attn.dtype)
+        attn = attn.reshape(bw // 2, num_heads, n2, n2)
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
+    return sw._linear(out, p["proj"])
+
 
 def bench_engine(args) -> None:
     """Production-path numbers (the r2 0.249 figure measured a raw
@@ -203,10 +248,17 @@ def main() -> None:
                 out = v  # skip both attention matmuls + softmax
             else:
                 q = q * (head_dim ** -0.5)
-                pref = (jnp.bfloat16 if mode == "attn_bf16"
-                        else jnp.float32)
-                attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                                  preferred_element_type=pref)
+                pref = (jnp.float32 if mode == "attn_f32"
+                        else jnp.bfloat16)
+                if mode == "attn_noscores":
+                    # broadcast stands in for the QK matmul (times the
+                    # score GEMM + its output write; rest unchanged)
+                    attn = jnp.broadcast_to(
+                        q[..., :1] * k[..., :1].sum(-2, keepdims=True)
+                        .swapaxes(-1, -2), (bw, num_heads, n, n))
+                else:
+                    attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                                      preferred_element_type=pref)
                 bias = p["relative_position_bias_table"][bias_idx]
                 attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
                 if mask is not None:
@@ -218,7 +270,11 @@ def main() -> None:
                     attn = (attn * 0.01).astype(v.dtype)
                 else:
                     attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-                out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+                if mode == "attn_noav":
+                    # keep scores+softmax live, skip the AV matmul
+                    out = v + attn[..., :1].astype(v.dtype)
+                else:
+                    out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
             out = out.transpose(0, 2, 1, 3).reshape(bw, n, c)
             return sw._linear(out, p["proj"])
         return attention
@@ -231,10 +287,22 @@ def main() -> None:
         sw.window_partition = orig_partition
         sw.window_reverse = orig_reverse
         sw._rstb = orig_rstb
-        if mode in ("attn_bf16", "no_softmax", "no_attn"):
+        sw.WINDOW_GROUP = 2
+        if mode in ("attn_bf16", "attn_f32", "no_softmax", "no_attn",
+                    "attn_noscores", "attn_noav"):
             sw._attention = make_attention(mode)
         elif mode == "attn_nt":
             sw._attention = attention_nt
+        elif mode == "pair":
+            sw._attention = attention_paired
+        elif mode == "nopair":
+            # production formulation with pairing disabled (the pre-r3
+            # per-window layout) — the regression comparator
+            sw.WINDOW_GROUP = 1
+        elif mode == "quad":
+            # 256-token pseudo-windows (4 windows): fills two lane
+            # tiles; score FLOPs ×4 vs unpaired — measure, don't guess
+            sw.WINDOW_GROUP = 4
         elif mode == "gelu_tanh":
             sw._gelu = lambda x: jax.nn.gelu(x, approximate=True)
         elif mode == "no_ln":

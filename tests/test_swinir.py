@@ -162,8 +162,11 @@ def model():
                   num_heads=HEADS, window_size=WIN, num_feat=NF)
 
 
-@pytest.mark.parametrize("shape", [(8, 8), (7, 6)])
+@pytest.mark.parametrize("shape", [(8, 8), (7, 6), (16, 16)])
 def test_swinir_matches_oracle(sd, model, shape):
+    # (16, 16) gives 4 windows → exercises the PAIRED attention path
+    # (window pairs fused into 128-token pseudo-windows) against the
+    # torch oracle, including a shifted block
     params = convert_swinir_state_dict(sd, depths=DEPTHS)
     x = np.random.default_rng(0).random((1, *shape, 3)).astype(np.float32)
     want = oracle(sd, torch.from_numpy(x).permute(0, 3, 1, 2)
@@ -171,6 +174,29 @@ def test_swinir_matches_oracle(sd, model, shape):
     got = np.asarray(model.apply(params, jnp.asarray(x)))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-3)
+
+
+def test_swinir_paired_attention_exact(sd, model):
+    """Window pairing is a pure MXU-shape transform: cross-window
+    softmax weights are exactly 0.0, so the paired forward sums the
+    SAME real terms as the unpaired one. The backend's matmul
+    K-blocking may re-associate them (≤1 ulp per op, compounding to
+    2 ulp observed through this 4-block model on CPU), so the pin is
+    a few fp32 ulp, not bit equality."""
+    import s2sr_tpu.models.swinir as sw
+
+    params = convert_swinir_state_dict(sd, depths=DEPTHS)
+    x = jnp.asarray(
+        np.random.default_rng(3).random((1, 16, 24, 3)), jnp.float32)
+    got = np.asarray(model.apply(params, x))          # paired (6 windows)
+    assert sw.WINDOW_GROUP == 2
+    try:
+        sw.WINDOW_GROUP = 1
+        want = np.asarray(model.apply(params, x))     # unpaired
+    finally:
+        sw.WINDOW_GROUP = 2
+    ulps = np.abs(got.view(np.int32) - want.view(np.int32))
+    assert ulps.max() <= 4, f"paired attention drifted: {ulps.max()} ulp"
 
 
 def test_swinir_init_runs(model):
