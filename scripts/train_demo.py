@@ -82,6 +82,11 @@ def main() -> None:
                     help="save the final params via the training "
                          "CheckpointManager (for downstream probes, "
                          "e.g. int8 quality eval on trained weights)")
+    ap.add_argument("--init-ckpt", default="",
+                    help="warm-start params from a training "
+                         "CheckpointManager dir (e.g. the 24k-step L1 "
+                         "flagship) — with --steps 0 this runs a "
+                         "GAN-only fine-tune on top of saved L1 weights")
     ap.add_argument("--cpu", action="store_true", help="CPU smoke mode")
     args = ap.parse_args()
 
@@ -109,7 +114,8 @@ def main() -> None:
     # clamp the chunk to the run length, round steps to whole chunks
     # BEFORE sizing the cosine schedule — the decay must complete over
     # the steps that actually run
-    chunk = max(1, min(args.chunk, args.steps))
+    chunk = (max(1, min(args.chunk, args.steps)) if args.steps
+             else max(1, args.chunk))
     device_pipe = args.pipeline == "device" and chunk > 1
     if args.steps % chunk:
         args.steps -= args.steps % chunk
@@ -118,6 +124,13 @@ def main() -> None:
                          num_grow_ch=args.grow, learning_rate=args.lr,
                          lr_decay_steps=args.steps, remat=args.remat)
     params, opt_state = init_training(config, seed=0)
+    if args.init_ckpt:
+        from s2sr_tpu.training.checkpoint import CheckpointManager
+        from s2sr_tpu.training.train import restore_flexible
+
+        params, opt_state, ck_step, _ = restore_flexible(
+            CheckpointManager(args.init_ckpt), config)
+        print(f"warm-start params from {args.init_ckpt} @ step {ck_step}")
     if device_pipe:
         pool_fn, _ = make_device_pool_train_step(
             config, args.crop, args.batch, chunk)
@@ -200,7 +213,8 @@ def main() -> None:
                       f"{float(np.asarray(lvec)[-1]):.4f} "
                       f"({rate:.1f} steps/s)", flush=True)
         t1 = time.monotonic()
-        loss_np = np.concatenate([np.asarray(v) for v in losses])
+        loss_np = (np.concatenate([np.asarray(v) for v in losses])
+                   if losses else np.zeros(0, np.float32))
         steady_rate = ((args.steps - chunk) / (t1 - t_steady)
                        if args.steps > chunk else 0.0)
     elif chunk > 1:
@@ -214,9 +228,11 @@ def main() -> None:
             if gi == 0:
                 np.asarray(lvec)     # force: compile once, then time
                 t_steady = time.monotonic()
-        np.asarray(losses[-1])       # drain the device queue
+        if losses:
+            np.asarray(losses[-1])   # drain the device queue
         t1 = time.monotonic()
-        loss_np = np.concatenate([np.asarray(v) for v in losses])
+        loss_np = (np.concatenate([np.asarray(v) for v in losses])
+                   if losses else np.zeros(0, np.float32))
         steady_rate = ((args.steps - chunk) / (t1 - t_steady)
                        if args.steps > chunk else 0.0)
     else:
@@ -226,21 +242,24 @@ def main() -> None:
             if i == 0:
                 np.asarray(loss)     # force: compile once, then time
                 t_steady = time.monotonic()
-        np.asarray(losses[-1])       # drain the device queue
+        if losses:
+            np.asarray(losses[-1])   # drain the device queue
         t1 = time.monotonic()
         loss_np = np.asarray([float(x) for x in losses])
         steady_rate = ((args.steps - 1) / (t1 - t_steady)
                        if args.steps > 1 else 0.0)
-    print(f"L1: {args.steps} steps, loss {loss_np[0]:.4f} -> "
-          f"{loss_np[-1]:.4f} (min {loss_np.min():.4f}), "
-          f"{steady_rate:.1f} steps/s steady (compile {t_steady - t0:.0f}s)")
+    if args.steps:
+        print(f"L1: {args.steps} steps, loss {loss_np[0]:.4f} -> "
+              f"{loss_np[-1]:.4f} (min {loss_np.min():.4f}), "
+              f"{steady_rate:.1f} steps/s steady "
+              f"(compile {t_steady - t0:.0f}s)")
 
     # Checkpoint the L1-phase pair NOW: (params, opt_state) are
     # consistent here (the GAN phase updates params under a different
     # optimizer — saving post-GAN params with the stale L1 opt_state
     # would corrupt a resume). The L1 params are also the PSNR-best;
     # the GAN stage deliberately trades PSNR for sharpness.
-    if args.ckpt_dir:
+    if args.ckpt_dir and args.steps:
         from s2sr_tpu.training.checkpoint import CheckpointManager
 
         mgr = CheckpointManager(args.ckpt_dir)
@@ -314,8 +333,9 @@ def main() -> None:
         "model_init": at_init,
         "after_l1": after_l1,
         "after_gan": after_gan,
-        "l1_loss_first": float(loss_np[0]),
-        "l1_loss_last": float(loss_np[-1]),
+        "init_ckpt": args.init_ckpt or None,
+        "l1_loss_first": float(loss_np[0]) if len(loss_np) else None,
+        "l1_loss_last": float(loss_np[-1]) if len(loss_np) else None,
         "l1_loss_curve_every25": [float(x) for x in loss_np[::25]],
         "l1_steps_per_s_steady": round(steady_rate, 2),
         "gan_metrics_every10": gan_metrics[::10],
