@@ -124,13 +124,15 @@ def main() -> None:
                          num_grow_ch=args.grow, learning_rate=args.lr,
                          lr_decay_steps=args.steps, remat=args.remat)
     params, opt_state = init_training(config, seed=0)
+    start_step = 0
     if args.init_ckpt:
         from s2sr_tpu.training.checkpoint import CheckpointManager
         from s2sr_tpu.training.train import restore_flexible
 
-        params, opt_state, ck_step, _ = restore_flexible(
+        params, opt_state, start_step, _ = restore_flexible(
             CheckpointManager(args.init_ckpt), config)
-        print(f"warm-start params from {args.init_ckpt} @ step {ck_step}")
+        print(f"warm-start params from {args.init_ckpt} "
+              f"@ step {start_step}")
     if device_pipe:
         pool_fn, _ = make_device_pool_train_step(
             config, args.crop, args.batch, chunk)
@@ -317,6 +319,20 @@ def main() -> None:
               f"pixel {gan_metrics[-1]['pixel']:.4f}")
         after_gan = evaluate(params)
         print(f"after GAN:        {after_gan}")
+        # GAN-only runs checkpoint the post-GAN params (with a fresh L1
+        # opt state — the GAN stage's G/D optimizers are stage-local,
+        # and a resume would start a new stage anyway) so the GAN model
+        # can be served/evaluated via eval_trained.py.
+        if args.ckpt_dir and not args.steps:
+            from s2sr_tpu.training.checkpoint import CheckpointManager
+            from s2sr_tpu.training.train import make_optimizer
+
+            mgr = CheckpointManager(args.ckpt_dir)
+            mgr.save(start_step + args.gan_steps, params,
+                     make_optimizer(config).init(params))
+            mgr.wait()
+            print(f"saved post-GAN params to {args.ckpt_dir} "
+                  f"@ {start_step + args.gan_steps}")
 
     report = {
         "platform": platform,
