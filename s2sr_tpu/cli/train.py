@@ -51,6 +51,12 @@ def main() -> None:
     parser.add_argument("--noise-std", type=float, default=0.0,
                         help="gaussian noise std on the LR in [0,1] "
                              "units")
+    parser.add_argument("--jpeg", default="",
+                        help="JPEG compression on the LR as 'QLO,QHI' "
+                             "(per-sample uniform quality, e.g. "
+                             "'30,95' — the Real-ESRGAN recipe's third "
+                             "degradation; needs --crop a multiple of "
+                             "16)")
     parser.add_argument("--ckpt-dir", default="checkpoints/rrdbnet")
     parser.add_argument("--save-every", type=int, default=2000,
                         help="checkpoint every N steps")
@@ -59,6 +65,10 @@ def main() -> None:
     parser.add_argument("--mesh", default="", help='e.g. "dp=4,sp=2"')
     parser.add_argument("--resume", action="store_true")
     args = parser.parse_args()
+    jpeg_range = None
+    if args.jpeg:
+        lo, hi = (float(v) for v in args.jpeg.split(","))
+        jpeg_range = (lo, hi)
 
     import jax
     import jax.numpy as jnp
@@ -128,7 +138,8 @@ def main() -> None:
         pool_dev = jnp.asarray(pool_np)
         run, _ = make_device_pool_train_step(
             config, args.crop, args.batch, chunk, mesh=mesh,
-            blur_sigma=args.blur_sigma, noise_std=args.noise_std)
+            blur_sigma=args.blur_sigma, noise_std=args.noise_std,
+            jpeg_range=jpeg_range)
         key = jax.random.PRNGKey(start)
         for gi in range(args.steps // chunk):
             key, sub = jax.random.split(key)
@@ -152,7 +163,8 @@ def main() -> None:
         sampler = PairSampler(hr_images=pool, crop_lr=args.crop,
                               scale=config.scale, batch_size=args.batch,
                               blur_sigma=args.blur_sigma,
-                              noise_std=args.noise_std, seed=start)
+                              noise_std=args.noise_std,
+                              jpeg_range=jpeg_range, seed=start)
 
         for i in range(args.steps):
             lr_b, hr_b = (jnp.asarray(a) for a in sampler.sample())

@@ -46,6 +46,7 @@ class PairSampler:
         batch_size: int = 8,
         blur_sigma: float = 0.0,
         noise_std: float = 0.0,
+        jpeg_range: Optional[Tuple[float, float]] = None,
         seed: int = 0,
     ):
         self.hr_images = hr_images or []
@@ -54,6 +55,11 @@ class PairSampler:
         self.batch_size = batch_size
         self.blur_sigma = blur_sigma
         self.noise_std = noise_std
+        # host sampler uses a REAL libjpeg round-trip (cv2); the device
+        # sampler (train.make_pool_sampler) applies the DCT-quantization
+        # model (ops/jpeg.py) — validated within ~0.6 dB of each other
+        # in tests/test_jpeg.py
+        self.jpeg_range = jpeg_range
         self.rng = np.random.default_rng(seed)
         self._synth_counter = 0
 
@@ -103,6 +109,19 @@ class PairSampler:
                            for im in lr])
         if self.noise_std > 0:
             lr = lr + self.rng.normal(0, self.noise_std, lr.shape)
+        if self.jpeg_range is not None:
+            import cv2
+
+            lo, hi = self.jpeg_range
+            out = []
+            for im in lr:
+                q = int(self.rng.uniform(lo, hi))
+                u8 = np.clip(np.round(im * 255.0), 0, 255).astype(np.uint8)
+                ok, enc = cv2.imencode(
+                    ".jpg", u8[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, q])
+                dec = cv2.imdecode(enc, cv2.IMREAD_COLOR)[..., ::-1]
+                out.append(dec.astype(np.float32) / 255.0)
+            lr = np.stack(out)
         return lr.astype(np.float32), hr
 
 

@@ -199,6 +199,7 @@ def make_device_pool_gan_step(
     mesh: Optional[Mesh] = None,
     blur_sigma: float = 0.0,
     noise_std: float = 0.0,
+    jpeg_range: Optional[Tuple[float, float]] = None,
 ):
     """Device-resident GAN trainer: K scanned G+D steps per dispatch,
     batches sampled on device from an HBM pool — the GAN twin of
@@ -212,7 +213,7 @@ def make_device_pool_gan_step(
 
     step, disc, g_tx, d_tx = _gan_step_parts(config)
     sample_batch = make_pool_sampler(config.base.scale, crop_lr, batch,
-                                     blur_sigma, noise_std)
+                                     blur_sigma, noise_std, jpeg_range)
 
     constrain = None
     if mesh is not None:

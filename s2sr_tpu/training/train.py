@@ -178,19 +178,27 @@ def restore_flexible(mgr, config: TrainConfig):
 
 
 def make_pool_sampler(scale: int, crop_lr: int, batch: int,
-                      blur_sigma: float = 0.0, noise_std: float = 0.0):
+                      blur_sigma: float = 0.0, noise_std: float = 0.0,
+                      jpeg_range: Optional[Tuple[float, float]] = None):
     """→ ``sample_batch(pool, key) -> (lr_b, hr_b)``: device-side crop
     sampling from an HBM-resident scene pool (uniform scene, uniform
     offset, 0.5 h/v-flips, area-×scale degradation; optional gaussian
-    blur + noise on the LR — the same "real" degradation knobs as the
-    host :class:`..training.data.PairSampler`). Shared by the L1
+    blur + noise + JPEG on the LR — the same "real" degradation knobs
+    as the host :class:`..training.data.PairSampler`). ``jpeg_range``
+    = (q_lo, q_hi): per-sample uniform JPEG quality through the
+    device DCT-quantization model (:func:`..ops.jpeg.jpeg_degrade` —
+    blocked DCT as batched MXU matmuls; requires ``crop_lr`` a
+    multiple of 16). Shared by the L1
     (:func:`make_device_pool_train_step`) and GAN
     (:func:`..training.gan.make_device_pool_gan_step`) trainers."""
     crop_hr = crop_lr * scale
+    if jpeg_range is not None and crop_lr % 16:
+        raise ValueError("jpeg_range needs crop_lr a multiple of 16 "
+                         f"(4:2:0 blocks), got {crop_lr}")
 
     def sample_batch(pool, key):
         P, H, W, _ = pool.shape
-        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
         idx = jax.random.randint(k1, (batch,), 0, P)
         ys = jax.random.randint(k2, (batch,), 0, H - crop_hr + 1)
         xs = jax.random.randint(k3, (batch,), 0, W - crop_hr + 1)
@@ -213,6 +221,13 @@ def make_pool_sampler(scale: int, crop_lr: int, batch: int,
         if noise_std > 0:
             lr_b = lr_b + noise_std * jax.random.normal(
                 k5, lr_b.shape, lr_b.dtype)
+        if jpeg_range is not None:
+            from ..ops.jpeg import jpeg_degrade
+
+            q = jax.random.uniform(k6, (batch,),
+                                   minval=jpeg_range[0],
+                                   maxval=jpeg_range[1])
+            lr_b = jax.vmap(jpeg_degrade)(jnp.clip(lr_b, 0.0, 1.0), q)
         return lr_b, hr_b
 
     return sample_batch
@@ -226,6 +241,7 @@ def make_device_pool_train_step(
     mesh: Optional[Mesh] = None,
     blur_sigma: float = 0.0,
     noise_std: float = 0.0,
+    jpeg_range: Optional[Tuple[float, float]] = None,
 ):
     """Fully device-resident input pipeline + K-step scan trainer.
 
@@ -253,7 +269,7 @@ def make_device_pool_train_step(
     """
     tx = make_optimizer(config)
     sample_batch = make_pool_sampler(config.scale, crop_lr, batch,
-                                     blur_sigma, noise_std)
+                                     blur_sigma, noise_std, jpeg_range)
 
     constrain = None
     if mesh is not None:
