@@ -92,6 +92,41 @@ def test_convert_weights_cli(tmp_path):
     assert (tmp_path / "model.npz").exists()
 
 
+def test_convert_weights_from_training_ckpt(tmp_path):
+    """train → convert → serve loop: a training checkpoint exports to a
+    .npz the weight loader round-trips bit-for-bit."""
+    import jax
+    import numpy as np
+
+    from s2sr_tpu.models.weights import load_params
+    from s2sr_tpu.training.checkpoint import CheckpointManager
+    from s2sr_tpu.training.train import TrainConfig, init_training
+
+    cfg = TrainConfig(num_feat=8, num_block=1, num_grow_ch=8,
+                      lr_decay_steps=1)
+    params, opt = init_training(cfg, seed=3)
+    ck = tmp_path / "ckpt"
+    mgr = CheckpointManager(ck)
+    mgr.save(7, params, opt)
+    mgr.wait()
+
+    r = run_cli("s2sr_tpu.cli.convert_weights", "--from-ckpt", str(ck),
+                "--feat", "8", "--blocks", "1", "--grow", "8",
+                "--model-name", "mymodel", cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = ck / "mymodel.npz"
+    assert out.exists() and "step 7" in r.stdout
+
+    loaded = load_params(out)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # exactly one source required
+    r = run_cli("s2sr_tpu.cli.convert_weights", cwd=tmp_path)
+    assert r.returncode != 0
+
+
 def test_fetch_scene_cutline_offline(tmp_path):
     """Offline: synthesizes a scene, then applies the AOI cutline."""
     from s2sr_tpu.utils import write_json
