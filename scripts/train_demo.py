@@ -64,6 +64,19 @@ def main() -> None:
                     help="pre-generated HR training scenes (0 = generate "
                          "a fresh scene per sample — host-bound on 1 core)")
     ap.add_argument("--gan-weight", type=float, default=0.02)
+    ap.add_argument("--blur-sigma", type=float, default=0.0,
+                    help="gaussian blur on the training LR (the 'real' "
+                         "degradation)")
+    ap.add_argument("--noise-std", type=float, default=0.0,
+                    help="gaussian noise std on the training LR")
+    ap.add_argument("--jpeg", default="",
+                    help="training-LR JPEG quality range 'QLO,QHI' "
+                         "(device DCT model, per-sample uniform)")
+    ap.add_argument("--eval-degraded", action="store_true",
+                    help="also evaluate on DEGRADED held-out LR "
+                         "(blur 1.0 + noise 0.02 + JPEG q60 — fixed, "
+                         "host-side real libjpeg) vs the bicubic "
+                         "baseline on the same inputs")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--crop", type=int, default=48, help="LR crop size")
     ap.add_argument("--feat", type=int, default=32)
@@ -89,6 +102,10 @@ def main() -> None:
                          "GAN-only fine-tune on top of saved L1 weights")
     ap.add_argument("--cpu", action="store_true", help="CPU smoke mode")
     args = ap.parse_args()
+    jpeg_range = None
+    if args.jpeg:
+        lo, hi = (float(v) for v in args.jpeg.split(","))
+        jpeg_range = (lo, hi)
 
     if args.cpu:
         import jax
@@ -135,7 +152,9 @@ def main() -> None:
               f"@ step {start_step}")
     if device_pipe:
         pool_fn, _ = make_device_pool_train_step(
-            config, args.crop, args.batch, chunk)
+            config, args.crop, args.batch, chunk,
+            blur_sigma=args.blur_sigma, noise_std=args.noise_std,
+            jpeg_range=jpeg_range)
     elif chunk > 1:
         chunk_fn, _ = make_chunked_train_step(config)
     else:
@@ -177,10 +196,58 @@ def main() -> None:
             ss.append(ssim(up, hr_u8))
         return {"psnr": float(np.mean(ps)), "ssim": float(np.mean(ss))}
 
+    # --- degraded held-out eval (fixed blur+noise+JPEG on the LR) ----
+    # Fixed parameters (not the training ranges) so clean-trained and
+    # degradation-trained runs are scored on IDENTICAL inputs; real
+    # libjpeg on host, mirroring PairSampler's host leg.
+    eval_deg_pairs = []
+    if args.eval_degraded:
+        import cv2
+        from scipy.ndimage import gaussian_filter
+
+        deg_rng = np.random.default_rng(2024)
+        for lr_img, hr_u8 in eval_pairs:
+            d = gaussian_filter(lr_img, (1.0, 1.0, 0))
+            d = d + deg_rng.normal(0, 0.02, d.shape)
+            u8 = np.clip(np.round(d * 255.0), 0, 255).astype(np.uint8)
+            ok, enc = cv2.imencode(".jpg", u8[..., ::-1],
+                                   [cv2.IMWRITE_JPEG_QUALITY, 60])
+            dec = cv2.imdecode(enc, cv2.IMREAD_COLOR)[..., ::-1]
+            eval_deg_pairs.append(
+                (dec.astype(np.float32) / 255.0, hr_u8))
+
+    def evaluate_degraded(p) -> dict | None:
+        if not eval_deg_pairs:
+            return None
+        ps, ss = [], []
+        for lr_img, hr_u8 in eval_deg_pairs:
+            sr = np.asarray(apply_jit(p, jnp.asarray(lr_img[None])))[0]
+            sr_u8 = to_u8(sr)
+            ps.append(psnr(sr_u8, hr_u8))
+            ss.append(ssim(sr_u8, hr_u8))
+        return {"psnr": float(np.mean(ps)), "ssim": float(np.mean(ss))}
+
+    def bicubic_degraded() -> dict | None:
+        if not eval_deg_pairs:
+            return None
+        import cv2
+
+        ps, ss = [], []
+        for lr_img, hr_u8 in eval_deg_pairs:
+            up = cv2.resize(to_u8(lr_img),
+                            (hr_u8.shape[1], hr_u8.shape[0]),
+                            interpolation=cv2.INTER_CUBIC)
+            ps.append(psnr(up, hr_u8))
+            ss.append(ssim(up, hr_u8))
+        return {"psnr": float(np.mean(ps)), "ssim": float(np.mean(ss))}
+
     baseline = bicubic_eval()
     at_init = evaluate(params)
+    baseline_deg = bicubic_degraded()
     print(f"bicubic baseline: {baseline}")
     print(f"model at init:    {at_init}")
+    if baseline_deg:
+        print(f"bicubic degraded: {baseline_deg}")
 
     # --- L1 phase -------------------------------------------------------
     # pre-generate the HR pool once: per-sample synthetic_fields() costs
@@ -188,7 +255,9 @@ def main() -> None:
     pool = [synthetic_fields(size=(args.crop * scale * 2,) * 2, seed=1 + i)
             for i in range(args.pool)] or None
     sampler = PairSampler(hr_images=pool, crop_lr=args.crop, scale=scale,
-                          batch_size=args.batch, seed=1)
+                          batch_size=args.batch, seed=1,
+                          blur_sigma=args.blur_sigma,
+                          noise_std=args.noise_std, jpeg_range=jpeg_range)
     losses = []
     t0 = time.monotonic()
     t_steady = None
@@ -271,6 +340,9 @@ def main() -> None:
 
     after_l1 = evaluate(params)
     print(f"after L1:         {after_l1}")
+    after_l1_deg = evaluate_degraded(params)
+    if after_l1_deg:
+        print(f"after L1 (degraded LR): {after_l1_deg}")
 
     # --- GAN phase ------------------------------------------------------
     gan_metrics = []
@@ -285,7 +357,9 @@ def main() -> None:
             chunk_g = min(chunk, args.gan_steps)
             args.gan_steps -= args.gan_steps % chunk_g
             gan_run, disc, g_tx, d_tx = make_device_pool_gan_step(
-                gcfg, args.crop, args.batch, chunk_g)
+                gcfg, args.crop, args.batch, chunk_g,
+                blur_sigma=args.blur_sigma, noise_std=args.noise_std,
+                jpeg_range=jpeg_range)
             g_opt = g_tx.init(params)
             d_opt = d_tx.init(d_params)
             key_g = jax.random.PRNGKey(777)
@@ -345,9 +419,15 @@ def main() -> None:
                    "pool": args.pool, "gan_weight": args.gan_weight,
                    "eval_lr_size": args.eval_size,
                    "eval_scenes": args.eval_scenes},
+        "degradation": {"blur_sigma": args.blur_sigma,
+                        "noise_std": args.noise_std,
+                        "jpeg_range": list(jpeg_range) if jpeg_range
+                        else None},
         "bicubic": baseline,
+        "bicubic_degraded": baseline_deg,
         "model_init": at_init,
         "after_l1": after_l1,
+        "after_l1_degraded": after_l1_deg,
         "after_gan": after_gan,
         "init_ckpt": args.init_ckpt or None,
         "l1_loss_first": float(loss_np[0]) if len(loss_np) else None,
