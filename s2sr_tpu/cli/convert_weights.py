@@ -21,6 +21,14 @@ def main() -> None:
     parser.add_argument("--from-ckpt", default=None, metavar="DIR",
                         help="training CheckpointManager dir instead "
                              "of a .pth (restores the latest step)")
+    parser.add_argument("--family", choices=("rrdbnet", "swinir"),
+                        default="rrdbnet",
+                        help="--from-ckpt model family (template for "
+                             "the restore)")
+    parser.add_argument("--embed-dim", type=int, default=60)
+    parser.add_argument("--depths", default="2,2")
+    parser.add_argument("--heads", default="4,4")
+    parser.add_argument("--window", type=int, default=8)
     parser.add_argument("--feat", type=int, default=64,
                         help="--from-ckpt model template: num_feat")
     parser.add_argument("--blocks", type=int, default=23,
@@ -40,8 +48,15 @@ def main() -> None:
         from ..training.checkpoint import CheckpointManager
         from ..training.train import TrainConfig, restore_flexible
 
-        cfg = TrainConfig(num_feat=args.feat, num_block=args.blocks,
-                          num_grow_ch=args.grow, lr_decay_steps=1)
+        cfg = TrainConfig(family=args.family,
+                          num_feat=args.feat, num_block=args.blocks,
+                          num_grow_ch=args.grow,
+                          embed_dim=args.embed_dim,
+                          depths=tuple(int(v)
+                                       for v in args.depths.split(",")),
+                          heads=tuple(int(v)
+                                      for v in args.heads.split(",")),
+                          window=args.window, lr_decay_steps=1)
         params, _, step, _ = restore_flexible(
             CheckpointManager(args.from_ckpt), cfg)
         out = (Path(args.output) if args.output

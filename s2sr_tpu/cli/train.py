@@ -22,7 +22,21 @@ import numpy as np
 
 
 def main() -> None:
-    parser = argparse.ArgumentParser(description="Train RRDBNet")
+    parser = argparse.ArgumentParser(
+        description="Train an SR model (RRDBNet or SwinIR)")
+    parser.add_argument("--family", choices=("rrdbnet", "swinir"),
+                        default="rrdbnet",
+                        help="model family; swinir trains through the "
+                             "same L1 (and GAN) steps")
+    parser.add_argument("--embed-dim", type=int, default=60,
+                        help="swinir: embedding dim (SwinIR-M uses 180)")
+    parser.add_argument("--depths", default="2,2",
+                        help="swinir: per-RSTB block depths, e.g. "
+                             "'6,6,6,6,6,6' for SwinIR-M")
+    parser.add_argument("--heads", default="4,4",
+                        help="swinir: per-RSTB attention heads")
+    parser.add_argument("--window", type=int, default=8,
+                        help="swinir: attention window")
     parser.add_argument("--steps", type=int, default=1000)
     parser.add_argument("--batch", type=int, default=16)
     parser.add_argument("--crop", type=int, default=48, help="LR crop size")
@@ -92,8 +106,16 @@ def main() -> None:
     start = 0 if not args.resume else (mgr.latest_step or 0)
     decay = (args.decay_steps if args.decay_steps is not None
              else start + args.steps)
-    config = TrainConfig(num_feat=args.feat, num_block=args.blocks,
-                         num_grow_ch=args.grow, learning_rate=args.lr,
+    config = TrainConfig(family=args.family,
+                         num_feat=args.feat, num_block=args.blocks,
+                         num_grow_ch=args.grow,
+                         embed_dim=args.embed_dim,
+                         depths=tuple(int(v)
+                                      for v in args.depths.split(",")),
+                         heads=tuple(int(v)
+                                     for v in args.heads.split(",")),
+                         window=args.window,
+                         learning_rate=args.lr,
                          lr_decay_steps=decay, remat=remat)
     mesh = build_mesh(args.mesh) if args.mesh else None
     params, opt_state = init_training(config)

@@ -237,6 +237,7 @@ class SwinIR:
         num_feat: int = 64,
         img_range: float = 1.0,
         dtype=jnp.float32,
+        remat: bool = False,
     ):
         self.scale = scale
         self.embed_dim = embed_dim
@@ -247,6 +248,9 @@ class SwinIR:
         self.num_feat = num_feat
         self.img_range = img_range
         self.dtype = dtype
+        # rematerialise each RSTB on backward (training memory knob —
+        # mirrors rrdbnet_apply(remat=True); no-op for inference)
+        self.remat = remat
         self.mean = jnp.asarray([0.4488, 0.4371, 0.4040], jnp.float32)
         self._bias_idx = jnp.asarray(relative_position_index(window_size))
 
@@ -349,11 +353,13 @@ class SwinIR:
         tokens = _layer_norm(tokens, params["norm_embed"])
 
         mask = jnp.asarray(_shift_mask(h, ww, w, w // 2))
+        rstb = (jax.checkpoint(_rstb, static_argnums=(2, 3, 4, 5, 6))
+                if self.remat else _rstb)
         body = tokens
         for layer, depth, heads in zip(params["layers"], self.depths,
                                        self.num_heads):
-            body = _rstb(body, layer, h, ww, depth, heads, w,
-                         self._bias_idx, mask)
+            body = rstb(body, layer, h, ww, depth, heads, w,
+                        self._bias_idx, mask)
         body = _layer_norm(body, params["norm"])
         body_img = body.reshape(b, h, ww, -1)
         feat = feat + _conv3x3(body_img, params["conv_after_body"])

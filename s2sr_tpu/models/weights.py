@@ -126,12 +126,28 @@ def convert_checkpoint(pth_path: Path | str, out_path: Path | str) -> Path:
 
 def _flatten(tree: Params, prefix: str = "") -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
-    for key, value in tree.items():
+    items = (tree.items() if isinstance(tree, dict)
+             else ((str(i), v) for i, v in enumerate(tree)))
+    for key, value in items:
         name = f"{prefix}/{key}" if prefix else key
-        if isinstance(value, dict):
+        if isinstance(value, (dict, list, tuple)):
+            # lists (SwinIR's layers/blocks/upsample) flatten with index
+            # keys and are rebuilt as lists on load
             out.update(_flatten(value, name))
         else:
             out[name] = np.asarray(value)
+    return out
+
+
+def _listify(node):
+    """Rebuild list nodes: a dict whose keys are exactly 0..n-1."""
+    if not isinstance(node, dict):
+        return node
+    out = {k: _listify(v) for k, v in node.items()}
+    if out and all(k.isdigit() for k in out):
+        idx = sorted(int(k) for k in out)
+        if idx == list(range(len(idx))):
+            return [out[str(i)] for i in idx]
     return out
 
 
@@ -143,7 +159,7 @@ def _unflatten(flat: Mapping[str, np.ndarray]) -> Params:
         for part in parts[:-1]:
             node = node.setdefault(part, {})
         node[parts[-1]] = jnp.asarray(value)
-    return tree
+    return _listify(tree)
 
 
 def save_params(params: Params, path: Path | str) -> Path:

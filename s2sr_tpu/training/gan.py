@@ -19,14 +19,13 @@ TPU-native training side:
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.rrdbnet import rrdbnet_apply
 from .train import TrainConfig, batch_sharding
 
 Params = Dict[str, Any]
@@ -125,14 +124,14 @@ def _gan_step_parts(config: GanConfig):
     shared by :func:`make_gan_train_step` (per-dispatch) and
     :func:`make_device_pool_gan_step` (scan-chunked)."""
     base = config.base
-    dtype = jnp.bfloat16 if base.dtype == "bfloat16" else jnp.float32
     disc = UNetDiscriminator(config.num_feat_d)
     g_tx = optax.adam(base.learning_rate)
     d_tx = optax.adam(config.lr_d)
 
     def generator_loss(g_params, d_params, lr_batch, hr_batch):
-        sr = rrdbnet_apply(g_params, lr_batch, scale=base.scale, dtype=dtype,
-                           remat=base.remat)
+        from .train import model_apply
+
+        sr = model_apply(base, g_params, lr_batch)
         pixel = jnp.mean(jnp.abs(sr - hr_batch))
         feat_sr = perceptual_features(g_params, sr)
         feat_hr = perceptual_features(g_params, hr_batch)

@@ -29,9 +29,18 @@ from ..models.rrdbnet import RRDBNet, rrdbnet_apply
 
 @dataclass
 class TrainConfig:
+    # family: "rrdbnet" (the flagship CNN) or "swinir" (the registry's
+    # transformer — the reference ships it untrained, swinir.py:494-635;
+    # here it trains through the same L1/GAN steps)
+    family: str = "rrdbnet"
     num_feat: int = 64
     num_block: int = 23
     num_grow_ch: int = 32
+    # swinir-family shape (ignored for rrdbnet)
+    embed_dim: int = 60
+    depths: Tuple[int, ...] = (2, 2)
+    heads: Tuple[int, ...] = (4, 4)
+    window: int = 8
     scale: int = 4
     learning_rate: float = 1e-4
     charbonnier_eps: float = 0.0     # 0 → plain L1
@@ -54,10 +63,29 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     return optax.adam(config.learning_rate)
 
 
-def loss_fn(params, lr_batch, hr_batch, config: TrainConfig):
+def _build_swinir(config: TrainConfig, dtype):
+    from ..models.swinir import SwinIR
+
+    return SwinIR(scale=config.scale, embed_dim=config.embed_dim,
+                  depths=config.depths, num_heads=config.heads,
+                  window_size=config.window, dtype=dtype,
+                  remat=config.remat)
+
+
+def model_apply(config: TrainConfig, params, x):
+    """Family-dispatched differentiable forward (shared by the L1 and
+    GAN steps): (B, h, w, 3) in [0,1] → (B, sh, sw, 3) float32."""
     dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
-    pred = rrdbnet_apply(params, lr_batch, scale=config.scale, dtype=dtype,
-                         remat=config.remat)
+    if config.family == "rrdbnet":
+        return rrdbnet_apply(params, x, scale=config.scale, dtype=dtype,
+                             remat=config.remat)
+    if config.family == "swinir":
+        return _build_swinir(config, dtype).apply(params, x)
+    raise ValueError(f"unknown model family {config.family!r}")
+
+
+def loss_fn(params, lr_batch, hr_batch, config: TrainConfig):
+    pred = model_apply(config, params, lr_batch)
     diff = pred - hr_batch
     if config.charbonnier_eps > 0:
         loss = jnp.mean(jnp.sqrt(diff * diff + config.charbonnier_eps**2))
@@ -310,10 +338,13 @@ def make_device_pool_train_step(
 def init_training(
     config: TrainConfig, seed: int = 0
 ) -> Tuple[dict, optax.OptState]:
-    net = RRDBNet(
-        num_feat=config.num_feat, num_block=config.num_block,
-        num_grow_ch=config.num_grow_ch, scale=config.scale,
-    )
+    if config.family == "swinir":
+        net = _build_swinir(config, jnp.float32)
+    else:
+        net = RRDBNet(
+            num_feat=config.num_feat, num_block=config.num_block,
+            num_grow_ch=config.num_grow_ch, scale=config.scale,
+        )
     params = net.init(jax.random.PRNGKey(seed))
     tx = make_optimizer(config)
     return params, tx.init(params)

@@ -292,3 +292,81 @@ def test_discriminator_shapes():
     params = disc.init(jax.random.PRNGKey(0))
     out = disc.apply(params, np.zeros((2, 32, 32, 3), np.float32))
     assert out.shape == (2, 32, 32, 1)
+
+
+# --- swinir family (model-generic trainer) ------------------------------
+
+TINY_SWIN = TrainConfig(family="swinir", embed_dim=16, depths=(1, 1),
+                        heads=(2, 2), window=4, scale=2,
+                        dtype="float32", learning_rate=1e-3)
+
+
+def test_swinir_family_loss_decreases():
+    params, opt_state = init_training(TINY_SWIN)
+    step, _ = make_train_step(TINY_SWIN)
+    lr, hr = _data()
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, lr, hr)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
+
+
+def test_swinir_remat_grads_match():
+    from dataclasses import replace
+
+    from s2sr_tpu.training.train import loss_fn
+
+    params, _ = init_training(TINY_SWIN)
+    lr, hr = _data(batch=2)
+    g_plain = jax.grad(loss_fn)(params, lr, hr, TINY_SWIN)
+    g_remat = jax.grad(loss_fn)(params, lr, hr,
+                                replace(TINY_SWIN, remat=True))
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_remat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_swinir_device_pool_trainer():
+    from s2sr_tpu.training.train import make_device_pool_train_step
+
+    run, _ = make_device_pool_train_step(TINY_SWIN, crop_lr=8, batch=2,
+                                         chunk=2)
+    params, opt = init_training(TINY_SWIN)
+    rng = np.random.default_rng(3)
+    pool = jax.numpy.asarray(rng.random((2, 64, 64, 3), np.float32))
+    params, opt, losses = run(params, opt, pool, jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(losses)))
+
+
+def test_swinir_gan_step():
+    from s2sr_tpu.training.gan import GanConfig, make_gan_train_step
+
+    cfg = GanConfig(base=TINY_SWIN, num_feat_d=4)
+    step, disc, g_tx, d_tx = make_gan_train_step(cfg)
+    g_params, _ = init_training(TINY_SWIN)
+    d_params = disc.init(jax.random.PRNGKey(1))
+    g_opt, d_opt = g_tx.init(g_params), d_tx.init(d_params)
+    lr, hr = _data(batch=2, h=8, w=8)
+    g_params, d_params, g_opt, d_opt, metrics = step(
+        g_params, d_params, g_opt, d_opt, lr, hr)
+    for key in ("g_loss", "d_loss", "pixel", "adv"):
+        assert np.isfinite(float(metrics[key])), key
+
+
+def test_swinir_params_npz_roundtrip(tmp_path):
+    """list-structured SwinIR params survive the .npz serializer
+    (layers/blocks/upsample flatten with index keys)."""
+    from s2sr_tpu.models.weights import load_params, save_params
+
+    params, _ = init_training(TINY_SWIN, seed=5)
+    path = save_params(params, tmp_path / "swin.npz")
+    loaded = load_params(path)
+    la, lb = (jax.tree_util.tree_leaves(t) for t in (params, loaded))
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert isinstance(loaded["layers"], list)
+    assert isinstance(loaded["layers"][0]["blocks"], list)
