@@ -143,7 +143,11 @@ def main() -> None:
                          f"HR crop ({crop_hr}px)")
 
     device_pipe = args.pipeline == "device" and chunk > 1
-    print(f"training: {args.blocks} blocks / {args.feat} feat, "
+    shape = (f"{args.blocks} blocks / {args.feat} feat"
+             if args.family == "rrdbnet" else
+             f"swinir dim {args.embed_dim} depths {args.depths} "
+             f"heads {args.heads} window {args.window}")
+    print(f"training: {shape}, "
           f"{args.steps} steps @ chunk {chunk}, pipeline={args.pipeline}, "
           f"remat={remat}, decay to step {decay}, pool={len(pool)}")
 

@@ -370,3 +370,33 @@ def test_swinir_params_npz_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert isinstance(loaded["layers"], list)
     assert isinstance(loaded["layers"][0]["blocks"], list)
+
+
+@pytest.mark.parametrize("mesh_shape", [{"dp": 2}, {"dp": 2, "sp": 2}])
+def test_swinir_sharded_matches_unsharded(mesh_shape):
+    """SwinIR training over the mesh: GSPMD handles the window
+    partition reshapes on the sharded H axis; result must equal the
+    unsharded step."""
+    import math
+
+    devices = np.array(jax.devices()[:math.prod(mesh_shape.values())])
+    mesh = Mesh(devices.reshape(tuple(mesh_shape.values())),
+                tuple(mesh_shape))
+    params, opt = init_training(TINY_SWIN)
+    lr, hr = _data(batch=4, h=8, w=8)
+
+    step_ref, _ = make_train_step(TINY_SWIN)
+    p_ref, _, loss_ref = step_ref(params, opt, lr, hr)
+
+    step_sh, _ = make_train_step(TINY_SWIN, mesh)
+    sh = batch_sharding(mesh)
+    lr_s = jax.device_put(lr, sh)
+    hr_s = jax.device_put(hr, sh)
+    p_sh, _, loss_sh = step_sh(params, opt, lr_s, hr_s)
+
+    np.testing.assert_allclose(float(loss_ref), float(loss_sh),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_sh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
