@@ -109,12 +109,21 @@ class SREngine:
                 depths=config["depths"], num_heads=config["num_heads"],
                 window_size=config["window_size"], dtype=self.dtype,
             )
-            npz = Path(weights_dir) / f"{model_name}.pth"
+            # Same resolution ladder as resolve_params: a converted or
+            # trained .npz (convert_weights --from-ckpt --family swinir)
+            # wins over a released torch .pth; else random init.
+            npz = Path(weights_dir) / f"{model_name}.npz"
+            pth = Path(weights_dir) / f"{model_name}.pth"
             if npz.exists():
+                from .weights import load_params
+
+                self.params = load_params(npz)
+                self.pretrained = True
+            elif pth.exists():
                 from .weights import load_torch_checkpoint
 
                 self.params = convert_swinir_state_dict(
-                    load_torch_checkpoint(npz), depths=config["depths"])
+                    load_torch_checkpoint(pth), depths=config["depths"])
                 self.pretrained = True
             else:
                 self.params = model.init(jax.random.PRNGKey(0))

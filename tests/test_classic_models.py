@@ -86,3 +86,35 @@ def test_swinir_engine_small(tmp_path):
         assert out.dtype == np.uint8
     finally:
         MODELS.pop("swinir_tiny", None)
+
+
+def test_swinir_engine_loads_trained_npz(tmp_path):
+    """convert_weights --from-ckpt exports .npz; the engine must load it
+    (trained-SwinIR serving loop, not just released .pth conversion)."""
+    from s2sr_tpu.models.engine import SREngine
+    from s2sr_tpu.models.registry import MODELS
+    from s2sr_tpu.models.swinir import SwinIR
+    from s2sr_tpu.models.weights import save_params
+
+    MODELS["swinir_tiny"] = {
+        "family": "swinir", "scale": 2, "embed_dim": 12,
+        "depths": (2,), "num_heads": (2,), "window_size": 4,
+        "description": "test",
+    }
+    try:
+        model = SwinIR(scale=2, embed_dim=12, depths=(2,), num_heads=(2,),
+                       window_size=4, dtype=jnp.float32)
+        params = model.init(jax.random.PRNGKey(7))
+        save_params(params, tmp_path / "swinir_tiny.npz")
+        eng = SREngine("swinir_tiny", weights_dir=tmp_path, dtype="float32")
+        assert eng.pretrained
+        # the loaded tree must be exactly the exported one (incl. the
+        # list-structured layers rebuilt from the flat npz)
+        for got, want in zip(jax.tree.leaves(eng.params),
+                             jax.tree.leaves(params), strict=True):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        eng_rand = SREngine("swinir_tiny", weights_dir=tmp_path / "empty",
+                            dtype="float32")
+        assert not eng_rand.pretrained
+    finally:
+        MODELS.pop("swinir_tiny", None)
