@@ -123,7 +123,8 @@ def main() -> None:
         params, opt_state, start, opt_ok = restore_flexible(mgr, config)
         print(f"resumed from step {start}"
               + ("" if opt_ok else
-                 " (schedule kind changed — optimizer state reset)"))
+                 " (schedule kind changed — Adam moments transplanted, "
+                 "schedule state reset)"))
 
     # --- HR pool ------------------------------------------------------
     crop_hr = args.crop * config.scale

@@ -50,6 +50,13 @@ class PairSampler:
         seed: int = 0,
     ):
         self.hr_images = hr_images or []
+        crop_hr = crop_lr * scale
+        for i, im in enumerate(self.hr_images):
+            if im.shape[0] < crop_hr or im.shape[1] < crop_hr:
+                raise ValueError(
+                    f"HR image {i} is {im.shape[0]}x{im.shape[1]} but the "
+                    f"HR crop needs {crop_hr}x{crop_hr} "
+                    f"(crop_lr {crop_lr} x scale {scale})")
         self.crop_lr = crop_lr
         self.scale = scale
         self.batch_size = batch_size
@@ -102,11 +109,23 @@ class PairSampler:
         lr = hr.reshape(self.batch_size, self.crop_lr, s,
                         self.crop_lr, s, 3).mean(axis=(2, 4))
         if self.blur_sigma > 0:
-            from scipy.ndimage import gaussian_filter
+            # same kernel/border math as the device sampler's
+            # ops.blur.gaussian_blur (cv2 auto ksize, reflect-101), so
+            # host- and device-sampled degradations cannot drift
+            from ..ops.blur import auto_ksize, gaussian_kernel_1d
 
-            lr = np.stack([gaussian_filter(im, (self.blur_sigma,
-                                                self.blur_sigma, 0))
-                           for im in lr])
+            ksize = auto_ksize(self.blur_sigma)
+            k = gaussian_kernel_1d(ksize, self.blur_sigma)
+            pad = ksize // 2
+
+            def blur1(im: np.ndarray) -> np.ndarray:
+                xp = np.pad(im, ((pad, pad), (0, 0), (0, 0)), mode="reflect")
+                x = sum(xp[i:i + im.shape[0]] * k[i] for i in range(ksize))
+                xp = np.pad(x, ((0, 0), (pad, pad), (0, 0)), mode="reflect")
+                return sum(xp[:, i:i + im.shape[1]] * k[i]
+                           for i in range(ksize))
+
+            lr = np.stack([blur1(im) for im in lr])
         if self.noise_std > 0:
             lr = lr + self.rng.normal(0, self.noise_std, lr.shape)
         if self.jpeg_range is not None:
@@ -115,7 +134,10 @@ class PairSampler:
             lo, hi = self.jpeg_range
             out = []
             for im in lr:
-                q = int(self.rng.uniform(lo, hi))
+                # round-to-nearest (not floor) so the quality
+                # distribution matches the device sampler's continuous
+                # uniform as closely as integer JPEG quality allows
+                q = int(round(self.rng.uniform(lo, hi)))
                 u8 = np.clip(np.round(im * 255.0), 0, 255).astype(np.uint8)
                 ok, enc = cv2.imencode(
                     ".jpg", u8[..., ::-1], [cv2.IMWRITE_JPEG_QUALITY, q])
@@ -138,18 +160,34 @@ def prefetch(
     q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
     stop = threading.Event()
 
+    def _put(item) -> bool:
+        """Bounded put that gives up once the consumer is gone, so an
+        early consumer exit can never leave the producer blocked on a
+        full queue (pinning device batches for the process lifetime)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def producer() -> None:
-        for _ in range(steps):
-            if stop.is_set():
-                return
-            lr, hr = sampler.sample()
-            if sharding is not None:
-                batch = (jax.device_put(lr, sharding),
-                         jax.device_put(hr, sharding))
-            else:
-                batch = (jax.device_put(lr), jax.device_put(hr))
-            q.put(batch)
-        q.put(None)
+        try:
+            for _ in range(steps):
+                if stop.is_set():
+                    return
+                lr, hr = sampler.sample()
+                if sharding is not None:
+                    batch = (jax.device_put(lr, sharding),
+                             jax.device_put(hr, sharding))
+                else:
+                    batch = (jax.device_put(lr), jax.device_put(hr))
+                if not _put(batch):
+                    return
+            _put(None)
+        except BaseException as exc:  # surface in the consumer, don't hang it
+            _put(exc)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -158,6 +196,9 @@ def prefetch(
             batch = q.get()
             if batch is None:
                 return
+            if isinstance(batch, BaseException):
+                raise batch
             yield batch
     finally:
         stop.set()
+        thread.join(timeout=5.0)

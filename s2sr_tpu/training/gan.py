@@ -97,6 +97,12 @@ class UNetDiscriminator:
         }
 
     def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        h, w = x.shape[1], x.shape[2]
+        if h % 8 or w % 8:
+            raise ValueError(
+                f"UNetDiscriminator needs H,W multiples of 8 (3 stride-2 "
+                f"stages with skip adds), got {h}x{w} — use a crop_hr "
+                f"(crop_lr x scale) that is a multiple of 8")
         x0 = _lrelu(_conv(x, params["conv0"]))
         d1 = _lrelu(_conv(x0, params["down1"], stride=2))
         d2 = _lrelu(_conv(d1, params["down2"], stride=2))
@@ -125,7 +131,9 @@ def _gan_step_parts(config: GanConfig):
     :func:`make_device_pool_gan_step` (scan-chunked)."""
     base = config.base
     disc = UNetDiscriminator(config.num_feat_d)
-    g_tx = optax.adam(base.learning_rate)
+    from .train import make_optimizer
+
+    g_tx = make_optimizer(base)   # honor base.lr_decay_steps (cosine)
     d_tx = optax.adam(config.lr_d)
 
     def generator_loss(g_params, d_params, lr_batch, hr_batch):

@@ -185,10 +185,12 @@ def restore_flexible(mgr, config: TrainConfig):
     A cosine schedule adds ``ScaleByScheduleState`` to the Adam state,
     so a checkpoint trained with decay cannot restore against a
     constant-LR template (and vice versa). If ``config``'s own template
-    mismatches, the checkpoint is read with the other kind's template
-    and ``config``'s optimizer state is freshly initialized for the
-    restored params (Adam moments reset — ``opt_restored`` is False so
-    callers can warn); params always restore.
+    mismatches, the checkpoint is read with the other kind's template,
+    the Adam first/second moments (``ScaleByAdamState``) are
+    transplanted into a fresh optimizer for ``config`` — only the
+    schedule-state leaf actually differs — and ``opt_restored`` is
+    False so callers can note the schedule change; params always
+    restore.
     """
     from dataclasses import replace
 
@@ -201,8 +203,14 @@ def restore_flexible(mgr, config: TrainConfig):
     alt = replace(config,
                   lr_decay_steps=0 if config.lr_decay_steps else 1)
     p_alt, o_alt = init_training(alt)
-    p, _, step = mgr.restore(p_alt, o_alt)
-    return p, make_optimizer(config).init(p), step, False
+    p, o_alt, step = mgr.restore(p_alt, o_alt)
+    fresh = make_optimizer(config).init(p)
+    # graft the restored Adam moments; keep config's schedule state
+    opt = tuple(
+        a if isinstance(f, optax.ScaleByAdamState)
+        and isinstance(a, optax.ScaleByAdamState) else f
+        for f, a in zip(fresh, o_alt))
+    return p, opt, step, False
 
 
 def make_pool_sampler(scale: int, crop_lr: int, batch: int,
@@ -225,9 +233,9 @@ def make_pool_sampler(scale: int, crop_lr: int, batch: int,
                          f"(4:2:0 blocks), got {crop_lr}")
 
     def sample_batch(pool, key):
-        P, H, W, _ = pool.shape
+        n_scenes, H, W, _ = pool.shape  # don't shadow PartitionSpec P
         k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
-        idx = jax.random.randint(k1, (batch,), 0, P)
+        idx = jax.random.randint(k1, (batch,), 0, n_scenes)
         ys = jax.random.randint(k2, (batch,), 0, H - crop_hr + 1)
         xs = jax.random.randint(k3, (batch,), 0, W - crop_hr + 1)
         flips = jax.random.bernoulli(k4, shape=(batch, 2))

@@ -400,3 +400,106 @@ def test_swinir_sharded_matches_unsharded(mesh_shape):
                     jax.tree_util.tree_leaves(p_sh)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_prefetch_propagates_producer_errors():
+    """A failing sampler must raise in the consumer, not hang it."""
+    from s2sr_tpu.training.data import prefetch
+
+    class Boom:
+        def sample(self):
+            raise ValueError("bad sample")
+
+    with pytest.raises(ValueError, match="bad sample"):
+        list(prefetch(Boom(), steps=3))
+
+
+def test_prefetch_early_exit_unblocks_producer():
+    """Breaking out of the iterator must not leave the producer thread
+    blocked forever in q.put (leaked thread + pinned device batches)."""
+    import threading
+    import time
+
+    from s2sr_tpu.training.data import PairSampler, prefetch
+
+    before = threading.active_count()
+    it = prefetch(PairSampler(crop_lr=8, scale=2, batch_size=1, seed=3),
+                  steps=50, buffer_size=1)
+    next(it)
+    it.close()                        # runs the generator's finally
+    deadline = time.monotonic() + 5.0
+    while threading.active_count() > before and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_pair_sampler_rejects_small_images():
+    from s2sr_tpu.training.data import PairSampler
+
+    tiny = np.zeros((20, 20, 3), np.uint8)
+    with pytest.raises(ValueError, match="20x20"):
+        PairSampler(hr_images=[tiny], crop_lr=16, scale=4)
+
+
+def test_host_blur_matches_device_blur():
+    """PairSampler's blur and the device sampler's ops.blur kernel are
+    the same filter (cv2 auto ksize + reflect-101) — no host/device
+    degradation drift."""
+    import jax.numpy as jnp
+
+    from s2sr_tpu.ops.blur import gaussian_blur
+    from s2sr_tpu.training.data import PairSampler
+
+    rng = np.random.default_rng(5)
+    src = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    sampler = PairSampler(hr_images=[src], crop_lr=16, scale=2,
+                          batch_size=2, blur_sigma=1.0, seed=4)
+    lr, hr = sampler.sample()
+    # recompute the un-blurred LR and push it through the device kernel
+    clean = hr.reshape(2, 16, 2, 16, 2, 3).mean(axis=(2, 4))
+    want = np.stack([np.asarray(gaussian_blur(jnp.asarray(im), 1.0))
+                     for im in clean])
+    np.testing.assert_allclose(lr, want, atol=1e-5)
+
+
+def test_discriminator_rejects_non_multiple_of_8():
+    from s2sr_tpu.training.gan import UNetDiscriminator
+
+    disc = UNetDiscriminator(num_feat=8)
+    params = disc.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="multiples of 8"):
+        disc.apply(params, np.zeros((1, 44, 44, 3), np.float32))
+
+
+def test_restore_flexible_transplants_adam_moments(tmp_path):
+    """Schedule-kind change on resume keeps the checkpoint's Adam
+    first/second moments instead of resetting them."""
+    import optax
+
+    from s2sr_tpu.training.checkpoint import CheckpointManager
+    from s2sr_tpu.training.train import restore_flexible
+
+    cfg_decay = TrainConfig(num_feat=8, num_block=1, num_grow_ch=4,
+                            scale=2, dtype="float32", lr_decay_steps=10)
+    params, opt_state = init_training(cfg_decay)
+    step, _ = make_train_step(cfg_decay)
+    lr, hr = _data()
+    for _ in range(2):
+        params, opt_state, _ = step(params, opt_state, lr, hr)
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    mgr.save(2, params, opt_state)
+    mgr.wait()
+
+    cfg_const = TrainConfig(num_feat=8, num_block=1, num_grow_ch=4,
+                            scale=2, dtype="float32", lr_decay_steps=0)
+    p, opt, step_no, opt_ok = restore_flexible(
+        CheckpointManager(tmp_path / "ckpt"), cfg_const)
+    assert step_no == 2 and not opt_ok
+    adam = next(s for s in opt if isinstance(s, optax.ScaleByAdamState))
+    adam_ckpt = next(s for s in opt_state
+                     if isinstance(s, optax.ScaleByAdamState))
+    assert int(adam.count) == 2
+    for got, want in zip(jax.tree.leaves(adam.mu),
+                         jax.tree.leaves(adam_ckpt.mu)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert any(float(np.abs(v).max()) > 0 for v in jax.tree.leaves(adam.nu))
