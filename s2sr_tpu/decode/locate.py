@@ -70,8 +70,15 @@ def _binarize_device(gray: jnp.ndarray) -> jnp.ndarray:
     return gray <= thr
 
 
-def binarize(image: np.ndarray) -> np.ndarray:
-    """uint8 H×W[×3] image → bool dark-module map (host array)."""
+def binarize(image: np.ndarray, pad_mode: str = "white") -> np.ndarray:
+    """uint8 H×W[×3] image → bool dark-module map (host array).
+
+    ``pad_mode``: the image is padded to a 256-multiple bucket so repeat
+    decodes reuse the executable. ``"white"`` makes the padding read as
+    a QR quiet zone; ``"edge"`` replicates the border instead (for OCR
+    on dark-background plates, where a white pad injects a false edge
+    into the boundary blocks).
+    """
     img = np.asarray(image)
     if img.ndim == 3:
         gray = img[..., :3].astype(np.float32) @ np.array(
@@ -79,12 +86,13 @@ def binarize(image: np.ndarray) -> np.ndarray:
     else:
         gray = img.astype(np.float32)
     h, w = gray.shape
-    # bucket to multiples of 256 so repeat decodes reuse the executable;
-    # pad with white so the padding reads as quiet zone
     hp = max(256, -(-h // 256) * 256)
     wp = max(256, -(-w // 256) * 256)
-    pad = np.full((hp, wp), 255.0, np.float32)
-    pad[:h, :w] = gray
+    if pad_mode == "edge":
+        pad = np.pad(gray, ((0, hp - h), (0, wp - w)), mode="edge")
+    else:
+        pad = np.full((hp, wp), 255.0, np.float32)
+        pad[:h, :w] = gray
     out = np.asarray(_binarize_device(jnp.asarray(pad)))
     return out[:h, :w]
 
@@ -200,18 +208,18 @@ def find_finder_patterns(b: np.ndarray) -> list[tuple[float, float, float]]:
         raw = raw[:8000]
     clusters: list[list[float]] = []   # sum_x, sum_y, sum_ms, weight
     for x, y, ms in raw:
-        v = _cross_check(b[:, int(round(x))], int(round(y)), ms)
+        v = _cross_check(b[:, int(x)], int(y), ms)
         if v is None:
             continue
         ms_v, cy = v
-        hline = b[int(round(cy))]
-        h_ = _cross_check(hline, int(round(x)), ms)
+        hline = b[int(cy)]
+        h_ = _cross_check(hline, int(x), ms)
         if h_ is None:
             continue
         ms_h, cx = h_
         # diagonal sanity: the three centre modules must be dark
         d = int(round(ms / 2))
-        yy, xx = int(round(cy)), int(round(cx))
+        yy, xx = int(cy), int(cx)
         if 0 <= yy - d and yy + d < b.shape[0] and 0 <= xx - d \
                 and xx + d < b.shape[1]:
             if not (b[yy - d, xx - d] and b[yy + d, xx + d]):
@@ -272,7 +280,7 @@ def _refine_alignment(b: np.ndarray, est: np.ndarray, ms: float
     dark 1:1:1 core; fall back to the estimate."""
     h, w = b.shape
     r = int(round(3 * ms))
-    x0, y0 = int(round(est[0])), int(round(est[1]))
+    x0, y0 = int(est[0]), int(est[1])
     best, best_d = None, 1e18
     for y in range(max(1, y0 - r), min(h - 1, y0 + r + 1)):
         for x in range(max(1, x0 - r), min(w - 1, x0 + r + 1)):
@@ -289,10 +297,14 @@ def _refine_alignment(b: np.ndarray, est: np.ndarray, ms: float
             dark = rx - lx + 1
             if dark > 2.5 * ms or dark < 0.4 * ms:
                 continue
-            cx = (lx + rx) / 2.0
-            d = (cx - est[0]) ** 2 + (y - est[1]) ** 2
+            # continuous-coordinate convention (pixel i spans [i, i+1)):
+            # run lx..rx centers at (lx+rx+1)/2, row y at y+0.5 — same
+            # convention as _cross_check's (lo+hi+1)/2 finder centers
+            cx = (lx + rx + 1) / 2.0
+            cy = y + 0.5
+            d = (cx - est[0]) ** 2 + (cy - est[1]) ** 2
             if d < best_d:
-                best, best_d = np.array([cx, float(y)]), d
+                best, best_d = np.array([cx, cy]), d
     return best if best is not None else est
 
 
@@ -316,7 +328,7 @@ def _ms_along(b: np.ndarray, center: np.ndarray, toward: np.ndarray
         state = 0            # 0 in-core, 1 in light ring, 2 in dark ring
         while t < norm:
             x = center + step * (t * sgn)
-            xi, yi = int(round(x[0])), int(round(x[1]))
+            xi, yi = int(x[0]), int(x[1])
             if not (0 <= xi < w and 0 <= yi < h):
                 return None
             dark = bool(b[yi, xi])
@@ -401,8 +413,11 @@ def extract_matrices(b: np.ndarray):
             mapped = H @ pts
             xs = mapped[0] / mapped[2]
             ys = mapped[1] / mapped[2]
-            xi = np.clip(np.round(xs).astype(int), 0, w - 1)
-            yi = np.clip(np.round(ys).astype(int), 0, h - 1)
+            # under the continuous convention the pixel containing
+            # coordinate x is floor(x), not round(x) (round = floor(x+.5)
+            # would skew every sample half a pixel down-right)
+            xi = np.clip(np.floor(xs).astype(int), 0, w - 1)
+            yi = np.clip(np.floor(ys).astype(int), 0, h - 1)
             oob = ((xs < -1) | (xs > w) | (ys < -1) | (ys > h))
             if oob.mean() > 0.05:
                 continue

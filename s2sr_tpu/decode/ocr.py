@@ -224,15 +224,9 @@ def ocr_image(image: np.ndarray) -> dict:
     img = sum(p[dy:dy + img.shape[0], dx:dx + img.shape[1]]
               for dy in range(3) for dx in range(3)) / 9.0
 
-    # binarize() pads to its 256-bucket with WHITE (a QR quiet zone);
-    # on dark-background plates that injects a false edge into the
-    # boundary blocks — pre-pad with edge-replicate instead
-    h, w = img.shape
-    hp = max(256, -(-h // 256) * 256)
-    wp = max(256, -(-w // 256) * 256)
-    img = np.pad(img, ((0, hp - h), (0, wp - w)), mode="edge")
-
-    dark = binarize(img.astype(np.uint8))[:h, :w]  # True where ink
+    # edge-replicate bucket padding: a white pad would inject a false
+    # edge into the boundary blocks on dark-background plates
+    dark = binarize(img.astype(np.uint8), pad_mode="edge")  # True where ink
     best_words: list = []
     best_conf = 0.0
     best_score = -1.0

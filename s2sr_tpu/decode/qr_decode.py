@@ -190,6 +190,10 @@ def _parse_stream(data: np.ndarray, version: int) -> str:
         mode = r.take(4)
         if mode == 0:                       # terminator
             break
+        if mode == 0b0011:                  # structured append — skip the
+            r.take(16)                      # 16-bit header (symbol seq +
+            continue                        # parity), decode this symbol's
+                                            # content like jsQR does
         if mode == 0b0111:                  # ECI — skip the designator
             first = r.take(8)
             if first & 0b1000_0000 == 0:

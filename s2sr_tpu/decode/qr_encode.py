@@ -19,7 +19,9 @@ from .qr_tables import (
 
 
 def _pick_mode(text: str) -> int:
-    if text.isdigit():
+    # isascii() guard: str.isdigit() is True for Unicode digits
+    # (e.g. '٣', '²') which int() would mangle or reject
+    if text.isascii() and text.isdigit():
         return 1
     if all(c in ALNUM for c in text):
         return 2
@@ -233,6 +235,8 @@ def encode_qr(text: str, level: str = "M", version: int | None = None,
         return m
 
     if mask is not None:
+        if not 0 <= mask <= 7:
+            raise ValueError(f"mask must be 0..7, got {mask}")
         return build(mask)
     candidates = [build(i) for i in range(8)]
     return candidates[int(np.argmin([_penalty(c) for c in candidates]))]

@@ -82,12 +82,21 @@ def decode_with_retry(image: np.ndarray, *, enhance_fn: EnhanceFn | None = None,
 
     def scan(img: np.ndarray, stage: str) -> dict:
         qr = decode_qr(img)
-        ocr = _try_ocr(img) if try_ocr else {
-            "available": False, "text": "", "confidence": 0.0, "words": []}
         serial = None
         if qr is not None:
             serial = extract_serial(qr.text) or (
                 qr.text if qr.text.strip() else None)
+        # OCR is the heaviest per-request work on the 1-core box; run it
+        # lazily, only when the QR path did not already yield the serial
+        # (the reference client returns immediately on jsQR success too,
+        # enhance.component.ts:279-288)
+        if try_ocr and serial is None:
+            ocr = _try_ocr(img)
+        else:
+            ocr = {"available": False, "text": "", "confidence": 0.0,
+                   "words": [], "reason": (
+                       "skipped: QR provided the serial" if serial
+                       else "disabled")}
         if serial is None and ocr["available"]:
             serial = extract_serial(ocr["text"], ocr["words"])
         rec = {"stage": stage,
@@ -119,12 +128,18 @@ def decode_with_retry(image: np.ndarray, *, enhance_fn: EnhanceFn | None = None,
             up = np.asarray(enhance_fn(image))
             enhanced = True
             second = scan(up, "enhanced")
-            second_better = second["qr"] is not None or (
-                first["qr"] is None and (
-                    (second["serial"] is not None
-                     and first["serial"] is None)
-                    or second["ocr"]["confidence"]
-                    > first["ocr"]["confidence"]))
+            # the retry may only improve the answer: never prefer a
+            # serial-less enhanced pass over a first pass that already
+            # extracted a serial (confidence alone doesn't outrank a hit)
+            if second["qr"] is not None:
+                second_better = True
+            elif second["serial"] is not None and first["serial"] is None:
+                second_better = True
+            elif first["serial"] is not None and second["serial"] is None:
+                second_better = False
+            else:
+                second_better = (second["ocr"]["confidence"]
+                                 > first["ocr"]["confidence"])
             if second_better:
                 best = second
         except Exception as exc:  # noqa: BLE001 — keep the first-pass answer

@@ -120,3 +120,48 @@ def test_oversize_image_skips_retry():
 
     result = decode_with_retry(big, enhance_fn=boom)
     assert not result["retried_with_enhancement"]
+
+
+def test_retry_never_discards_first_pass_serial(monkeypatch):
+    """An enhanced pass with higher OCR confidence but NO serial must
+    not replace a first pass that extracted one."""
+    from s2sr_tpu.decode import service
+
+    monkeypatch.setattr(service, "decode_qr", lambda img: None)
+    calls = []
+
+    def fake_ocr(img):
+        calls.append(img.shape)
+        if len(calls) == 1:
+            return {"available": True, "text": "SN ABCD-12345",
+                    "confidence": 55.0,
+                    "words": [{"text": "SN", "confidence": 55.0},
+                              {"text": "ABCD-12345", "confidence": 55.0}]}
+        return {"available": True, "text": "zzzz qqqq", "confidence": 65.0,
+                "words": [{"text": "zzzz", "confidence": 65.0},
+                          {"text": "qqqq", "confidence": 65.0}]}
+
+    monkeypatch.setattr(service, "_try_ocr", fake_ocr)
+    img = np.zeros((32, 32, 3), np.uint8)
+    out = service.decode_with_retry(img, enhance_fn=lambda a: np.repeat(
+        np.repeat(a, 4, 0), 4, 1))
+    assert len(calls) == 2          # the retry ran (confidence < 60)
+    assert out["serial"] == "ABCD-12345"
+
+
+def test_ocr_skipped_when_qr_supplies_serial(monkeypatch):
+    """OCR (the heaviest per-request work) must not run when the QR
+    already yielded the serial."""
+    from s2sr_tpu.decode import service
+    from s2sr_tpu.decode.qr_encode import encode_qr, render as qr_render
+
+    ran = []
+    monkeypatch.setattr(service, "_try_ocr",
+                        lambda img: ran.append(1) or {})
+    img = qr_render(encode_qr("SN-KBTX-1234567", level="M"))
+    out = service.decode_with_retry(np.stack([img] * 3, -1),
+                                    enhance_fn=None)
+    assert out["qr"] is not None
+    assert out["serial"] is not None
+    assert not ran
+    assert out["ocr"]["reason"].startswith("skipped")

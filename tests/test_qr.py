@@ -414,3 +414,40 @@ def test_kanji_mode_decode():
     # 0x01*0xC0+0x60 = 288
     payload = "1000" + f"{1:08b}" + f"{288:013b}" + "0000"
     assert _parse_stream(bits_to_bytes(payload), version=1) == "あ"
+
+
+def test_encoder_rejects_bad_mask():
+    with pytest.raises(ValueError, match="mask must be 0..7"):
+        encode_qr("HELLO", mask=8)
+    with pytest.raises(ValueError, match="mask must be 0..7"):
+        encode_qr("HELLO", mask=-1)
+
+
+def test_encoder_unicode_digits_roundtrip():
+    """Unicode digits (isdigit()-True, int()-mangled) must NOT take the
+    numeric path: the payload round-trips byte-for-byte."""
+    from s2sr_tpu.decode.qr_decode import decode_matrix
+
+    for payload in ("١٢٣", "x²"):
+        out = decode_matrix(encode_qr(payload, level="M"))
+        assert out.text == payload
+
+
+def test_structured_append_header_is_skipped():
+    """A structured-append header (mode 0011 + 16 bits) must not fail
+    the decode — the symbol's own content decodes like jsQR does."""
+    from s2sr_tpu.decode.qr_decode import _parse_stream
+
+    payload = b"PART-1"
+    bits = []
+    bits += [0, 0, 1, 1]                       # SA mode
+    bits += [0] * 16                           # seq 0/0, parity 0
+    bits += [0, 1, 0, 0]                       # byte mode
+    bits += [int(c) for c in f"{len(payload):08b}"]
+    for b in payload:
+        bits += [int(c) for c in f"{b:08b}"]
+    bits += [0, 0, 0, 0]                       # terminator
+    while len(bits) % 8:
+        bits.append(0)
+    data = np.packbits(np.array(bits, np.uint8))
+    assert _parse_stream(data, version=1) == "PART-1"
