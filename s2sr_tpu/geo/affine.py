@@ -78,10 +78,15 @@ class Affine:
 
     def __invert__(self) -> "Affine":
         det = self.a * self.e - self.b * self.d
-        if math.isclose(det, 0.0):
+        # NB: tiny determinants are legitimate (a geographic 10 m pixel
+        # gives det ~1e-9), so no absolute tolerance — test exact zero,
+        # then catch numeric overflow of the division explicitly
+        if det == 0.0:
             raise ValueError("affine transform is not invertible")
         ia, ib = self.e / det, -self.b / det
         id_, ie = -self.d / det, self.a / det
+        if not all(math.isfinite(v) for v in (ia, ib, id_, ie)):
+            raise ValueError("affine transform is numerically singular")
         return Affine(
             ia, ib, -(ia * self.c + ib * self.f),
             id_, ie, -(id_ * self.c + ie * self.f),
@@ -96,8 +101,11 @@ class Affine:
 
     def rescaled(self, factor: float) -> "Affine":
         """Pixel-size shrink for an SR upscale: the exact transform the
-        reference writes after x4 SR (``server/app/wow_sr.py:128-135``)."""
-        return Affine(self.a / factor, self.b, self.c, self.d, self.e / factor, self.f)
+        reference writes after x4 SR (``server/app/wow_sr.py:128-135``).
+        All four linear coefficients divide (== self * Affine.scale(1/f))
+        so rotated/sheared grids rescale correctly too."""
+        return Affine(self.a / factor, self.b / factor, self.c,
+                      self.d / factor, self.e / factor, self.f)
 
     def bounds(self, width: int, height: int) -> Tuple[float, float, float, float]:
         """(west, south, east, north) of a north-up raster of this transform."""

@@ -70,13 +70,20 @@ class HttpRangeFile(io.RawIOBase):
         r = requests.get(self.url, timeout=self.timeout,
                          headers={"Range": f"bytes={start}-{end - 1}"})
         r.raise_for_status()
+        content_range = r.headers.get("Content-Range", "")
         if self._size is None:
-            content_range = r.headers.get("Content-Range", "")
             if "/" in content_range:
                 try:
                     self._size = int(content_range.rsplit("/", 1)[1])
                 except ValueError:
                     pass
+            elif r.status_code == 200:
+                self._size = len(r.content)
+        if r.status_code == 200:
+            # server ignored the Range header (HTTP/1.0, some proxies)
+            # and sent the whole file: slice the requested span instead
+            # of caching the full body at a nonzero block index
+            return r.content[start:end]
         return r.content
 
     def _block(self, index: int) -> bytes:
@@ -139,18 +146,23 @@ class CogReader:
             self._f = open(source, "rb")
         else:
             self._f = source
-        head = _read_exact(self._f, 0, 8)
-        if head[:2] == b"II":
-            self._bo = "<"
-        elif head[:2] == b"MM":
-            self._bo = ">"
-        else:
-            raise ValueError("not a TIFF")
-        magic, ifd_off = struct.unpack(self._bo + "HI", head[2:8])
-        if magic != 42:
-            raise ValueError("only classic TIFF supported")
-        self._f.seek(ifd_off)
-        self.tags = _read_ifd(self._f, self._bo, ifd_off)
+        self._owns_f = isinstance(source, (str, Path))
+        try:
+            head = _read_exact(self._f, 0, 8)
+            if head[:2] == b"II":
+                self._bo = "<"
+            elif head[:2] == b"MM":
+                self._bo = ">"
+            else:
+                raise ValueError("not a TIFF")
+            magic, ifd_off = struct.unpack(self._bo + "HI", head[2:8])
+            if magic != 42:
+                raise ValueError("only classic TIFF supported")
+            self.tags = _read_ifd(self._f, self._bo, ifd_off)
+        except Exception:
+            if self._owns_f:
+                self._f.close()   # don't leak the fd we opened
+            raise
 
         t = self.tags
         self.width = int(t[T_IMAGE_WIDTH][0])
@@ -198,6 +210,10 @@ class CogReader:
                             count=rows * cols * spp).reshape(rows, cols, spp)
         if self._predictor == 2:
             arr = _undo_predictor(arr)
+        elif self._predictor != 1:
+            raise ValueError(
+                f"unsupported TIFF predictor {self._predictor} "
+                "(only 1=none, 2=horizontal differencing)")
         return arr
 
     def read_window(self, row_off: int, col_off: int,

@@ -288,6 +288,10 @@ def read_geotiff(path: Path | str) -> GeoTiff:
                     arr = arr.reshape(rows, cols, chunk_spp)
                     if predictor == 2:
                         arr = _undo_predictor(arr)
+                    elif predictor != 1:
+                        raise ValueError(
+                            f"unsupported TIFF predictor {predictor} "
+                            "(only 1=none, 2=horizontal differencing)")
                     y0, x0 = ty * th, tx * tw
                     vy = min(rows, height - y0)
                     vx = min(cols, width - x0)
@@ -416,8 +420,12 @@ def write_geotiff(
 
     tr = raster.transform
     if tr != Affine.identity():
-        if tr.b == 0.0 and tr.d == 0.0:
-            add(T_MODEL_PIXEL_SCALE, 12, [abs(tr.a), abs(tr.e), 0.0])
+        # ModelPixelScale + tiepoint encodes ONLY the north-up, east-
+        # right convention (a>0, e<0); anything else (incl. south-up
+        # e>0) must use the full ModelTransformation or the sign flips
+        # silently on read-back
+        if tr.b == 0.0 and tr.d == 0.0 and tr.a > 0.0 and tr.e < 0.0:
+            add(T_MODEL_PIXEL_SCALE, 12, [tr.a, -tr.e, 0.0])
             add(T_MODEL_TIEPOINT, 12, [0.0, 0.0, 0.0, tr.c, tr.f, 0.0])
         else:
             add(T_MODEL_TRANSFORMATION, 12, [

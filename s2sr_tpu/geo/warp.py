@@ -49,19 +49,13 @@ def control_grid(
     return out.reshape(grid, grid, 2).astype(np.float32)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def warp_bilinear_batch(
-    src: jnp.ndarray,        # (H, W, C) float32
-    ctrl: jnp.ndarray,       # (B, G, G, 2) source (col, row) at controls
-    out_h: int,
-    out_w: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Warp a batch of destination windows. Returns (rgb, alpha):
-    (B, out_h, out_w, C) float32 and (B, out_h, out_w) float32 in {0,1}."""
-    h, w, c = src.shape
+def _densify_ctrl(ctrl: jnp.ndarray, out_h: int, out_w: int,
+                  h: int, w: int):
+    """Bilinearly densify a (B, G, G, 2) control grid to per-pixel
+    source coords → (col, row, valid), each (B, out_h, out_w). Shared
+    by the bilinear and lanczos kernels so the centre-alignment and
+    coverage conventions cannot diverge."""
     g = ctrl.shape[1]
-
-    # densify control grid → per-pixel source coords (bilinear)
     py = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h * (g - 1)
     px = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w * (g - 1)
     y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, g - 2)
@@ -76,8 +70,21 @@ def warp_bilinear_batch(
     coords = (c00 * (1 - fy) * (1 - fx) + c01 * (1 - fy) * fx
               + c10 * fy * (1 - fx) + c11 * fy * fx)
     col, row = coords[..., 0] - 0.5, coords[..., 1] - 0.5  # centre-aligned
-
     valid = ((col > -1.0) & (col < w) & (row > -1.0) & (row < h))
+    return col, row, valid
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def warp_bilinear_batch(
+    src: jnp.ndarray,        # (H, W, C) float32
+    ctrl: jnp.ndarray,       # (B, G, G, 2) source (col, row) at controls
+    out_h: int,
+    out_w: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Warp a batch of destination windows. Returns (rgb, alpha):
+    (B, out_h, out_w, C) float32 and (B, out_h, out_w) float32 in {0,1}."""
+    h, w, c = src.shape
+    col, row, valid = _densify_ctrl(ctrl, out_h, out_w, h, w)
 
     ci = jnp.clip(jnp.floor(col), 0, w - 1)
     ri = jnp.clip(jnp.floor(row), 0, h - 1)
@@ -100,12 +107,16 @@ def warp_bilinear_batch(
     return rgb, valid.astype(jnp.float32)
 
 
+def _mercator_bounds(raster: GeoTiff) -> Tuple[float, float, float, float]:
+    w, s, e, n = raster.bounds
+    assert raster.crs is not None
+    return transform_bounds(raster.crs, CRS(3857), w, s, e, n)
+
+
 def default_mercator_resolution(raster: GeoTiff) -> float:
     """Destination pixel size (m) preserving the source pixel count along x,
     the same heuristic gdalwarp uses by default."""
-    w, s, e, n = raster.bounds
-    assert raster.crs is not None
-    mw, ms, me, mn = transform_bounds(raster.crs, CRS(3857), w, s, e, n)
+    mw, ms, me, mn = _mercator_bounds(raster)
     return (me - mw) / raster.width
 
 
@@ -117,19 +128,26 @@ def warp_to_mercator(
 ) -> GeoTiff:
     """Reproject a raster to EPSG:3857 (the ``reproject_to_web_mercator``
     equivalent, ``server/app/tiling.py:100-135``). Adds an alpha band when
-    warping introduces empty corners."""
+    warping introduces empty corners or the source carries nodata
+    (gdalwarp honors source nodata the same way)."""
     assert raster.crs is not None, "raster must be georeferenced"
     if raster.crs.epsg == 3857:
         return raster
+    mw, ms, me, mn = _mercator_bounds(raster)
     if resolution is None:
-        resolution = default_mercator_resolution(raster)
-    w, s, e, n = raster.bounds
-    mw, ms, me, mn = transform_bounds(raster.crs, CRS(3857), w, s, e, n)
+        resolution = (me - mw) / raster.width
     out_w = max(int(round((me - mw) / resolution)), 1)
     out_h = max(int(round((mn - ms) / resolution)), 1)
     dst_transform = Affine.from_origin(mw, mn, resolution, resolution)
 
-    src = jnp.asarray(raster.data.astype(np.float32))
+    src_np = raster.data.astype(np.float32)
+    if raster.nodata is not None:
+        # weighted warp: nodata taps get weight 0 so they neither smear
+        # into valid pixels nor count as coverage
+        mask = (raster.data != raster.nodata).all(axis=-1, keepdims=True)
+        src_np = np.concatenate(
+            [src_np * mask, mask.astype(np.float32)], axis=-1)
+    src = jnp.asarray(src_np)
     rows_out = []
     alpha_out = []
     for y0 in range(0, out_h, block_rows):
@@ -145,11 +163,26 @@ def warp_to_mercator(
         alpha_out.append(np.asarray(alpha[0]))
     data = np.concatenate(rows_out, axis=0)
     alpha = np.concatenate(alpha_out, axis=0)
-    out = np.clip(np.round(data), 0, 255).astype(raster.data.dtype)
+    if raster.nodata is not None:
+        cov = data[..., -1]
+        data = data[..., :-1] / np.maximum(cov[..., None], 1e-6)
+        alpha = alpha * (cov > 0.5)
+
+    # quantise to the SOURCE dtype's range — uint16 reflectance and
+    # float rasters must survive the round trip, not be clamped to 255
+    dt = raster.data.dtype
+    if np.issubdtype(dt, np.integer):
+        info = np.iinfo(dt)
+        out = np.clip(np.round(data), info.min, info.max).astype(dt)
+        alpha_full = info.max
+    else:
+        out = data.astype(dt)
+        alpha_full = 1.0
     if (alpha < 0.5).any():
         out = np.concatenate(
-            [out, (alpha[..., None] * 255).astype(out.dtype)], axis=-1)
-    return GeoTiff(out, transform=dst_transform, crs=CRS(3857))
+            [out, (alpha[..., None] * alpha_full).astype(dt)], axis=-1)
+    return GeoTiff(out, transform=dst_transform, crs=CRS(3857),
+                   nodata=raster.nodata)
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -165,23 +198,7 @@ def warp_lanczos_batch(
     windowed-sinc weights, edge-replicated taps, alpha from source
     coverage like the bilinear path."""
     h, w, c = src.shape
-    g = ctrl.shape[1]
-
-    py = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / out_h * (g - 1)
-    px = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / out_w * (g - 1)
-    y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, g - 2)
-    x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, g - 2)
-    fy = (py - y0)[None, :, None, None]
-    fx = (px - x0)[None, None, :, None]
-    c00 = ctrl[:, y0][:, :, x0]
-    c01 = ctrl[:, y0][:, :, x0 + 1]
-    c10 = ctrl[:, y0 + 1][:, :, x0]
-    c11 = ctrl[:, y0 + 1][:, :, x0 + 1]
-    coords = (c00 * (1 - fy) * (1 - fx) + c01 * (1 - fy) * fx
-              + c10 * fy * (1 - fx) + c11 * fy * fx)
-    col, row = coords[..., 0] - 0.5, coords[..., 1] - 0.5
-
-    valid = ((col > -1.0) & (col < w) & (row > -1.0) & (row < h))
+    col, row, valid = _densify_ctrl(ctrl, out_h, out_w, h, w)
 
     def lanczos3(x):
         ax = jnp.abs(x)

@@ -295,3 +295,117 @@ class TestCodecCompressionVariants:
         Image.fromarray(data).save(p, compression="tiff_lzw")
         back = read_geotiff(p)
         np.testing.assert_array_equal(back.data[:, :, 0], data)
+
+
+def test_affine_rescaled_scales_all_linear_terms():
+    t = Affine(10.0, 1.0, 500.0, -2.0, -10.0, 9000.0)
+    r = t.rescaled(4)
+    # rescaled == t * scale(1/4): every linear coefficient divides
+    assert (r.a, r.b, r.d, r.e) == (2.5, 0.25, -0.5, -2.5)
+    assert (r.c, r.f) == (t.c, t.f)
+    # a pixel at 4x finer index maps to the same ground point
+    assert r * (8.0, 4.0) == t * (2.0, 1.0)
+
+
+def test_affine_invert_rejects_overflow():
+    with pytest.raises(ValueError):
+        ~Affine(1e-300, 0.0, 0.0, 0.0, 1e-300, 0.0)
+    # tiny-but-legit geographic determinants still invert
+    inv = ~Affine(9e-5, 0.0, 35.0, 0.0, -9e-5, 32.0)
+    col, row = inv * (35.0 + 9e-5 * 10, 32.0 - 9e-5 * 20)
+    assert col == pytest.approx(10.0) and row == pytest.approx(20.0)
+
+
+def test_write_geotiff_south_up_roundtrip(tmp_path):
+    """South-up (e > 0) transforms must survive the write/read cycle
+    (ModelPixelScale can't encode them; ModelTransformation can)."""
+    data = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    t = Affine(10.0, 0.0, 100.0, 0.0, 10.0, 200.0)   # e > 0: south-up
+    write_geotiff(GeoTiff(data, transform=t, crs=CRS(32636)), tmp_path / "s.tif")
+    back = read_geotiff(tmp_path / "s.tif")
+    assert back.transform.e == pytest.approx(10.0)
+    assert back.transform.f == pytest.approx(200.0)
+    np.testing.assert_array_equal(back.data, data)
+
+
+def test_warp_preserves_uint16_and_float(tmp_path):
+    """warp_to_mercator must not clamp uint16 reflectance to 255 or
+    round floats."""
+    from s2sr_tpu.geo.warp import warp_to_mercator
+
+    t = Affine.from_origin(35.0, 32.0, 1e-4, 1e-4)
+    u16 = np.full((64, 64, 3), 8000, np.uint16)
+    w16 = warp_to_mercator(GeoTiff(u16, transform=t, crs=CRS(4326)))
+    interior = w16.data[16:-16, 16:-16, :3]
+    assert w16.data.dtype == np.uint16
+    assert interior.max() > 7000, "uint16 values clamped"
+
+    f32 = np.full((64, 64, 3), 0.37, np.float32)
+    wf = warp_to_mercator(GeoTiff(f32, transform=t, crs=CRS(4326)))
+    assert wf.data.dtype == np.float32
+    assert abs(float(wf.data[32, 32, 0]) - 0.37) < 1e-3, "floats rounded"
+
+
+def test_warp_honors_nodata(tmp_path):
+    """A nodata collar must neither smear into valid pixels nor read as
+    coverage (alpha 0 there), like gdalwarp."""
+    from s2sr_tpu.geo.warp import warp_to_mercator
+
+    t = Affine.from_origin(35.0, 32.0, 1e-4, 1e-4)
+    data = np.full((64, 64, 3), 200, np.uint8)
+    data[:, :16] = 0                          # left nodata collar
+    g = GeoTiff(data, transform=t, crs=CRS(4326), nodata=0.0)
+    warped = warp_to_mercator(g)
+    assert warped.count == 4, "expected an alpha band"
+    rgb, alpha = warped.data[..., :3], warped.data[..., 3]
+    h, w = alpha.shape
+    # collar maps to roughly the left quarter: alpha 0 there
+    assert (alpha[:, : w // 8] == 0).all()
+    # valid interior keeps full value — no bilinear smear of the collar
+    valid = alpha > 0
+    assert rgb[..., 0][valid].min() >= 199
+
+
+def test_cogreader_closes_fd_on_bad_file(tmp_path):
+    import os
+
+    from s2sr_tpu.geo.cog import CogReader
+
+    bad = tmp_path / "not_a.tif"
+    bad.write_bytes(b"PNG\x00" + b"x" * 64)
+    fd_dir = Path("/proc/self/fd")
+    before = len(list(fd_dir.iterdir()))
+    for _ in range(5):
+        with pytest.raises(ValueError):
+            CogReader(bad)
+    after = len(list(fd_dir.iterdir()))
+    assert after <= before + 1          # no fd accumulation
+
+
+def test_http_range_file_server_ignores_range(monkeypatch):
+    """A 200 full-body response must be sliced to the requested span,
+    not cached as a block at the wrong offset."""
+    from s2sr_tpu.geo import cog as cog_mod
+
+    body = bytes(range(256)) * 40       # 10240 bytes
+
+    class FakeResp:
+        status_code = 200
+        headers = {}
+        content = body
+
+        def raise_for_status(self):
+            pass
+
+    class FakeRequests:
+        @staticmethod
+        def get(url, timeout=None, headers=None):
+            return FakeResp()
+
+    import sys as _sys
+    monkeypatch.setitem(_sys.modules, "requests", FakeRequests)
+    f = cog_mod.HttpRangeFile("http://x/test.tif", block_size=1024)
+    f.seek(4096)
+    got = f.read(512)
+    assert got == body[4096:4608]
+    assert f.size() == len(body)
