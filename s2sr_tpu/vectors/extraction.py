@@ -141,10 +141,68 @@ def compute_vegetation_mask(
     return compute_green_mask_hsv(raster, config), "rgb_fallback"
 
 
+@partial(jax.jit, static_argnums=(3,))
+def _stage_binary(mask, th, tw, sigma):
+    """Reflect the true rectangle into the bucket padding (so the
+    gaussian sees scipy's 'reflect' content across the crop border,
+    not padded zeros), smooth, threshold, and confine to the valid
+    rectangle. ``th``/``tw`` are traced, so one executable serves every
+    AOI in the same shape bucket."""
+    h, w = mask.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    valid = (rows < th) & (cols < tw)
+    ridx = jnp.arange(h)
+    ridx = jnp.where(ridx < th, ridx, jnp.clip(2 * th - 1 - ridx, 0, th - 1))
+    cidx = jnp.arange(w)
+    cidx = jnp.where(cidx < tw, cidx, jnp.clip(2 * tw - 1 - cidx, 0, tw - 1))
+    reflected = mask.astype(jnp.float32)[ridx[:, None], cidx[None, :]]
+    smoothed = ops.gaussian_filter(reflected, sigma)
+    binary = ((smoothed > 0.5) & valid).astype(jnp.uint8)
+    return binary, valid
+
+
+@jax.jit
+def _stage_fill(opened, valid):
+    # scipy fills holes of the crop: padded zeros connect the frame
+    # border to the crop border, so the complement flood is equivalent.
+    return jnp.where(valid, ops.fill_holes(jnp.where(valid, opened, 0)), 0)
+
+
+@jax.jit
+def _stage_markers(filled, valid):
+    # cv2.distanceTransform measures to the nearest zero INSIDE the
+    # crop — the bucket padding must contribute no seeds (set to 1) and
+    # no maxima (dist forced 0 outside valid).
+    dist = ops.distance_transform(jnp.where(valid, filled, 1))
+    dist = jnp.where(valid, dist, 0.0)
+    local_max = (dist > 0.3 * jnp.max(dist)).astype(jnp.uint8)
+    return ops.connected_components(local_max)
+
+
+@jax.jit
+def _stage_watershed(cc, filled, valid):
+    """The reference's background-marker watershed (``:358-378``):
+    ``markers+1`` seeds label 1 on every filled non-core pixel, cores
+    get 2..N+1, and cv2.watershed floods only the *outside* region —
+    label 1 wins it (and is zeroed), so the surviving fields are the
+    distance-transform cores, not the filled mask. Cores reach outside
+    only when they touch the filled boundary (thin masks)."""
+    markers = jnp.where(cc > 0, cc + 1, jnp.where(filled > 0, 1, 0))
+    labels = ops.watershed_uniform(markers, valid.astype(jnp.uint8))
+    return jnp.where(labels == 1, 0, labels)
+
+
 def segment_fields(vegetation_mask: np.ndarray,
                    config: ExtractionConfig,
-                   timings: Optional[dict] = None) -> np.ndarray:
+                   timings: Optional[dict] = None,
+                   valid_hw: Optional[Tuple[int, int]] = None) -> np.ndarray:
     """Device segmentation chain (``:304-383`` semantics).
+
+    ``valid_hw``: true (unpadded) crop shape when the input is
+    shape-bucketed; every stage applies the reference's border
+    semantics relative to that rectangle (reflect for gaussian, cv2
+    constant borders for morphology, no padded EDT seeds).
 
     With ``timings`` each device stage is synced (forced readback — the
     relay does not synchronise on ``block_until_ready``) and its
@@ -161,20 +219,18 @@ def segment_fields(vegetation_mask: np.ndarray,
         return val
 
     _mark.t0 = _time.perf_counter()
+    th, tw = valid_hw if valid_hw is not None else vegetation_mask.shape[:2]
     mask_dev = jnp.asarray(vegetation_mask)
-    smoothed = ops.gaussian_filter(mask_dev, config.gaussian_sigma)
-    binary = (smoothed > 0.5).astype(jnp.uint8)
+    binary, valid = _stage_binary(mask_dev, jnp.int32(th), jnp.int32(tw),
+                                  float(config.gaussian_sigma))
     closed = ops.binary_close(binary, config.morph_kernel_size,
-                              config.morph_iterations)
+                              config.morph_iterations, valid)
     opened = ops.binary_open(closed, config.morph_kernel_size,
-                             config.morph_iterations)
-    filled = _mark("seg_morphology", ops.fill_holes(opened))
+                             config.morph_iterations, valid)
+    filled = _mark("seg_morphology", _stage_fill(opened, valid))
 
-    dist = _mark("seg_distance_transform", ops.distance_transform(filled))
-    local_max = (dist > 0.3 * jnp.max(dist)).astype(jnp.uint8)
-    markers = _mark("seg_connected_components",
-                    ops.connected_components(local_max))
-    labels = _mark("seg_watershed", ops.watershed_uniform(markers, filled))
+    cc = _mark("seg_markers", _stage_markers(filled, valid))
+    labels = _mark("seg_watershed", _stage_watershed(cc, filled, valid))
     host = np.asarray(labels)
     num = len(np.unique(host)) - 1
     logger.info("Segmented %d potential field regions", num)
@@ -188,12 +244,17 @@ def labels_to_polygons(
     for label_val in np.unique(labels):
         if label_val == 0:
             continue
-        polys = mask_to_polygons(labels == label_val)
-        for poly in polys:
-            if poly.is_empty:
-                continue
-            world = poly.transform(lambda x, y: transform * (x, y))
-            features.append({"geometry": world, "label": int(label_val)})
+        polys = [p for p in mask_to_polygons(labels == label_val)
+                 if not p.is_empty]
+        if not polys:
+            continue
+        # The reference traces each label with connectivity=8 (one shape
+        # per label, ``:424-429``), then buffer(0) splits diagonal
+        # pinches and cleanup keeps the largest part (``:504-506``) —
+        # net effect: the largest 4-connected piece per label.
+        poly = max(polys, key=lambda p: p.area)
+        world = poly.transform(lambda x, y: transform * (x, y))
+        features.append({"geometry": world, "label": int(label_val)})
     logger.info("Extracted %d raw polygons", len(features))
     return features
 
@@ -322,11 +383,17 @@ def extract_field_polygons(
     # every device stage (mask, morphology, EDT, CC, watershed) compiles
     # per input shape, and through the remote-compile relay a fresh AOI
     # shape costs minutes — padded buckets make the executables
-    # reusable across AOIs. Zero pixels are never vegetation, so the
-    # padded region contributes no labels; results are cropped back.
+    # reusable across AOIs. segment_fields applies the reference's
+    # border semantics relative to the true (th, tw) rectangle, so the
+    # padding is inert; pad 1..7 would leave the gaussian's reflected
+    # window short (radius 8 at σ2), so such buckets are bumped up.
     th, tw = working.data.shape[:2]
     hb = max(256, -(-th // 256) * 256)
     wb = max(256, -(-tw // 256) * 256)
+    if 0 < hb - th < 8:
+        hb += 256
+    if 0 < wb - tw < 8:
+        wb += 256
     if (hb, wb) != (th, tw):
         padded = np.zeros((hb, wb) + working.data.shape[2:],
                           working.data.dtype)
@@ -339,7 +406,10 @@ def extract_field_polygons(
     vegetation_mask, source_method = compute_vegetation_mask(working, config)
     timings["mask"] = round(_time.perf_counter() - t0, 3)
     t0 = _time.perf_counter()
-    labels = segment_fields(vegetation_mask, config, timings=timings)
+    # timings=None: the per-stage seg_* sync points force relay
+    # readbacks (~33 ms each); production dispatches the whole chain
+    # asynchronously and records only the end-to-end segment time.
+    labels = segment_fields(vegetation_mask, config, valid_hw=(th, tw))
     labels = labels[:th, :tw]
     timings["segment_total"] = round(_time.perf_counter() - t0, 3)
     t0 = _time.perf_counter()

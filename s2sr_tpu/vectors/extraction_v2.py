@@ -110,15 +110,24 @@ def _segment_gradient_device(ndvi_dev, valid_dev, sigma, grad_thresh):
     dist = ops.distance_transform(interior.astype(jnp.uint8))
     local_max = (dist == ops.maximum_filter(dist, 20)) & (dist > 5)
     markers = ops.connected_components(local_max.astype(jnp.uint8))
-    labels = ops.watershed_gradient(markers.astype(jnp.int32), gradient,
-                                    valid_dev.astype(jnp.uint8))
+    # Reference background marker (:398): every invalid pixel seeds a
+    # sentinel label and the flood runs over the WHOLE frame, so valid
+    # pixels whose lowest-gradient path leads to cloud/invalid areas
+    # lose to the background competitor (then zeroed, :412) instead of
+    # being claimed by the nearest field.
+    h, w = ndvi_dev.shape
+    bg = jnp.int32(h * w + 2)  # > any CC label; ties resolve against it
+    markers = jnp.where(valid_dev, markers.astype(jnp.int32), bg)
+    labels = ops.watershed_gradient(markers, gradient,
+                                    jnp.ones((h, w), jnp.uint8))
+    labels = jnp.where(labels == bg, 0, labels)
     return labels, gradient
 
 
 @partial(jax.jit, static_argnums=(1,))
 def _grow_road_mask(mask_u8, buffer_px):
-    grown = ops.binary_close(mask_u8, 1, 1)
     kernel = np.ones((3, 3), np.uint8)
+    grown = mask_u8
     for _ in range(buffer_px):
         grown = ops._dilate_once(grown, kernel)
     return grown
@@ -133,11 +142,12 @@ def segment_by_gradient(
         float(config.gaussian_sigma), float(config.gradient_threshold))
     host = ops.renumber_labels(np.asarray(labels))
 
-    # prune small regions (:415-420)
+    # prune small regions (:415-420) — vectorized: a per-label scan is
+    # O(labels·pixels), minutes of host time on big rasters
     sizes = np.bincount(host.ravel())
-    for label_id in range(1, len(sizes)):
-        if sizes[label_id] < config.min_region_pixels:
-            host[host == label_id] = 0
+    kill = sizes < config.min_region_pixels
+    kill[0] = False
+    host[kill[host]] = 0
     host = ops.renumber_labels(host)
     logger.info("Segmented %d field regions", host.max())
     return host, np.asarray(gradient)
@@ -188,7 +198,8 @@ def carve_roads_from_labels(
         return labels
     h, w = labels.shape
     inv = ~transform
-    buffer_px = max(int(round(road_buffer_m * 1e-5 / abs(transform.a))), 1)
+    # reference converts buffer_m / 111000 to degrees (:499)
+    buffer_px = max(int(round(road_buffer_m / 111000 / abs(transform.a))), 1)
     road_mask = np.zeros((h, w), bool)
     for line in roads:
         col, row = inv * (line[:, 0], line[:, 1])
@@ -229,8 +240,17 @@ def compute_field_statistics(
         "p90_ndvi": float(p90),
         "ndvi_range": float(p90 - p10),
     }
-    grown = np.asarray(ops.binary_close(
-        jnp.asarray(mask.astype(np.uint8)), 3, 1)) > 0
+    # ndimage.binary_dilation(mask, iterations=2) & ~mask (:589) — the
+    # default scipy structure is the 4-connected cross; a close() here
+    # would be ~identity and zero the edge term for convex fields
+    grown = mask.copy()
+    for _ in range(2):
+        d = grown.copy()
+        d[1:, :] |= grown[:-1, :]
+        d[:-1, :] |= grown[1:, :]
+        d[:, 1:] |= grown[:, :-1]
+        d[:, :-1] |= grown[:, 1:]
+        grown = d
     boundary = grown & ~mask
     stats["edge_strength"] = (float(np.mean(gradient[boundary]))
                               if boundary.any() else 0.0)
@@ -341,7 +361,7 @@ def extract_field_polygons_v2(
     # polygons + stats + cleanup
     min_area_m2 = config.min_area_ha * 10000
     max_area_m2 = config.max_area_ha * 10000
-    simplify_tol = config.simplify_tolerance_m * 1e-5
+    simplify_tol = config.simplify_tolerance_m / 111000  # v2 uses /111000 (:903), not v1's 1e-5
     features = []
     for label_val in np.unique(labels):
         if label_val == 0:

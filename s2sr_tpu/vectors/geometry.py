@@ -36,9 +36,12 @@ def mask_to_rings(mask: np.ndarray) -> List[Ring]:
     Each ring is closed and oriented with the region interior on its
     left while walking (exteriors CCW in (x, up-y) terms; holes CW).
     Diagonal pinch points split into separate rings (4-connected
-    boundary topology; 8-connected regions then yield multiple rings —
-    the caller keeps the largest, matching the reference's
-    MultiPolygon→largest rule, ``vector_extraction.py:504-506``).
+    boundary topology), matching shapely ``buffer(0)`` on the
+    self-touching connectivity=8 shapes rasterio emits. v1's
+    ``labels_to_polygons`` then keeps the largest piece per label
+    (the reference's MultiPolygon→largest rule,
+    ``vector_extraction.py:504-506``); v2 and zones keep every piece,
+    as the reference does there (``vector_extraction_v2.py:875,692``).
     """
     mask = np.asarray(mask, bool)
     padded = np.pad(mask, 1)

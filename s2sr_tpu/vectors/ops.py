@@ -97,26 +97,46 @@ def _erode_once(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnums=(1, 2))
 def binary_close(mask: jnp.ndarray, kernel_size: int = 5,
-                 iterations: int = 2) -> jnp.ndarray:
-    """cv2.morphologyEx(MORPH_CLOSE, ellipse) — dilate×n then erode×n."""
+                 iterations: int = 2,
+                 valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """cv2.morphologyEx(MORPH_CLOSE, ellipse) — dilate×n then erode×n.
+
+    With ``valid`` (bool mask of the true image rectangle inside a
+    shape-bucketed frame), pixels outside it take cv2's BORDER_CONSTANT
+    values — 0 for dilate, 1 for erode (morphologyDefaultBorderValue) —
+    so results on the valid rectangle match cv2 on the unpadded crop.
+    """
     kernel = ellipse_kernel(kernel_size)
     x = mask.astype(jnp.uint8)
     for _ in range(iterations):
+        if valid is not None:
+            x = jnp.where(valid, x, 0)
         x = _dilate_once(x, kernel)
     for _ in range(iterations):
+        if valid is not None:
+            x = jnp.where(valid, x, 1)
         x = _erode_once(x, kernel)
+    if valid is not None:
+        x = jnp.where(valid, x, 0)
     return x
 
 
 @partial(jax.jit, static_argnums=(1, 2))
 def binary_open(mask: jnp.ndarray, kernel_size: int = 5,
-                iterations: int = 2) -> jnp.ndarray:
+                iterations: int = 2,
+                valid: jnp.ndarray | None = None) -> jnp.ndarray:
     kernel = ellipse_kernel(kernel_size)
     x = mask.astype(jnp.uint8)
     for _ in range(iterations):
+        if valid is not None:
+            x = jnp.where(valid, x, 1)
         x = _erode_once(x, kernel)
     for _ in range(iterations):
+        if valid is not None:
+            x = jnp.where(valid, x, 0)
         x = _dilate_once(x, kernel)
+    if valid is not None:
+        x = jnp.where(valid, x, 0)
     return x
 
 
@@ -133,7 +153,10 @@ def fill_holes(mask: jnp.ndarray) -> jnp.ndarray:
     border = border.at[:, 0].set(True).at[:, -1].set(True)
     reach0 = border & inv
 
-    k3 = np.ones((3, 3), np.uint8)
+    # scipy floods the complement with the default cross structure
+    # (generate_binary_structure(2, 1)) — 4-connected, so holes behind
+    # diagonally-pinched walls still count as holes.
+    k3 = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], np.uint8)
 
     def body(state):
         reach, _ = state
@@ -232,13 +255,11 @@ def connected_components(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def renumber_labels(labels: np.ndarray) -> np.ndarray:
-    """Compact nonzero labels to 1..N (host-side, tiny)."""
+    """Compact nonzero labels to 1..N (host-side, vectorized —
+    O(pixels·log labels), not the O(labels·pixels) per-label scan)."""
     unique = np.unique(labels)
-    unique = unique[unique > 0]
-    out = np.zeros_like(labels, dtype=np.int32)
-    for new_id, old in enumerate(unique, start=1):
-        out[labels == old] = new_id
-    return out
+    compact = np.cumsum(unique > 0).astype(np.int32)  # 0 stays 0
+    return compact[np.searchsorted(unique, labels)]
 
 
 # --- watershed (uniform-image flooding) --------------------------------

@@ -95,6 +95,113 @@ class TestOps:
         assert labels.max() == markers.max()
 
 
+class TestSegmentationOracle:
+    """The fixed v1 chain vs a cv2/scipy replay of the reference's
+    ``segment_fields`` (vector_extraction.py:304-383), including the
+    background-marker watershed whose net output is the distance cores."""
+
+    @staticmethod
+    def _reference_segment(mask, sigma=2.0, ksize=5, iters=2):
+        import cv2
+        from scipy import ndimage
+        from scipy.ndimage import binary_fill_holes
+
+        smoothed = ndimage.gaussian_filter(mask, sigma=sigma)
+        binary = (smoothed > 0.5).astype(np.uint8)
+        kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (ksize, ksize))
+        closed = cv2.morphologyEx(binary, cv2.MORPH_CLOSE, kernel,
+                                  iterations=iters)
+        opened = cv2.morphologyEx(closed, cv2.MORPH_OPEN, kernel,
+                                  iterations=iters)
+        filled = binary_fill_holes(opened).astype(np.uint8)
+        dist = cv2.distanceTransform(filled, cv2.DIST_L2, 5)
+        local_max = (dist > 0.3 * dist.max()).astype(np.uint8)
+        _, markers = cv2.connectedComponents(local_max)
+        markers = markers + 1
+        markers[filled == 0] = 0
+        img3 = cv2.cvtColor((filled * 255).astype(np.uint8),
+                            cv2.COLOR_GRAY2BGR)
+        ws = cv2.watershed(img3, markers.astype(np.int32))
+        ws[ws == -1] = 0
+        ws[ws == 1] = 0
+        return ws
+
+    @pytest.fixture
+    def field_mask(self, rng):
+        """Several convex-ish fields of distinct sizes, float mask."""
+        m = np.zeros((96, 96), np.float32)
+        m[8:40, 6:44] = 1
+        m[50:90, 10:50] = 1
+        m[12:44, 56:92] = 1
+        m[60:88, 60:88] = 1
+        noise = rng.random((96, 96)) < 0.02
+        return np.clip(m + noise, 0, 1).astype(np.float32)
+
+    def test_v1_chain_matches_reference_cores(self, field_mask):
+        from s2sr_tpu.vectors.extraction import ExtractionConfig, segment_fields
+
+        want = ops.renumber_labels(self._reference_segment(field_mask))
+        got = segment_fields(field_mask, ExtractionConfig())
+        # identical region count and per-region agreement (cv2's DIST_L2
+        # maskSize=5 is a chamfer approximation of our exact EDT, so the
+        # 0.3·max core boundary can differ by ~a pixel)
+        assert got.max() == want.max()
+        for lbl in range(1, want.max() + 1):
+            ours = np.unique(got[want == lbl])
+            ours = ours[ours > 0]
+            assert len(ours) == 1, f"ref region {lbl} split: {ours}"
+            inter = ((want == lbl) & (got == ours[0])).sum()
+            union = ((want == lbl) | (got == ours[0])).sum()
+            assert inter / union > 0.85, f"region {lbl} IoU {inter/union:.2f}"
+        # the watershed's net output is the cores, NOT the filled mask:
+        # labelled area must be well below the vegetation area
+        assert (got > 0).sum() < 0.8 * (field_mask > 0.5).sum()
+
+    def test_padding_is_inert(self, field_mask):
+        """Shape-bucketed run (zero padding + valid_hw) must reproduce
+        the unpadded result exactly — padded zeros must inject no EDT
+        seeds, no gaussian bleed, no morphology border artifacts."""
+        from s2sr_tpu.vectors.extraction import ExtractionConfig, segment_fields
+
+        cfg = ExtractionConfig()
+        h, w = field_mask.shape
+        want = segment_fields(field_mask, cfg)
+        padded = np.zeros((h + 37, w + 61), np.float32)
+        padded[:h, :w] = field_mask
+        got = segment_fields(padded, cfg, valid_hw=(h, w))[:h, :w]
+        # same partition (labels may renumber differently)
+        assert (got > 0).sum() == (want > 0).sum()
+        for lbl in range(1, want.max() + 1):
+            ours = np.unique(got[want == lbl])
+            assert len(ours) == 1 and ours[0] > 0
+            np.testing.assert_array_equal(got == ours[0], want == lbl)
+
+    def test_fill_holes_diagonal_pinch(self):
+        """scipy floods the complement 4-connectedly: a hole sealed only
+        diagonally is still a hole."""
+        from scipy.ndimage import binary_fill_holes
+
+        m = np.array([[0, 0, 0, 0, 0],
+                      [0, 1, 1, 0, 0],
+                      [0, 1, 0, 1, 0],
+                      [0, 1, 1, 1, 0],
+                      [0, 0, 0, 0, 0]], np.uint8)
+        want = binary_fill_holes(m).astype(np.uint8)
+        got = np.asarray(ops.fill_holes(jnp.asarray(m)))
+        np.testing.assert_array_equal(got, want)
+        assert got[2, 2] == 1  # the diagonally-sealed hole is filled
+
+    def test_renumber_and_prune_vectorized(self, rng):
+        labels = rng.integers(0, 50, (200, 200)).astype(np.int32) * 977
+        out = ops.renumber_labels(labels)
+        uniq_in = np.unique(labels)
+        uniq_out = np.unique(out)
+        assert uniq_out.max() == (uniq_in > 0).sum()
+        # order-preserving bijection
+        for a, b in zip(uniq_in[uniq_in > 0], uniq_out[uniq_out > 0]):
+            np.testing.assert_array_equal(labels == a, out == b)
+
+
 class TestGeometry:
     def test_square_ring(self):
         m = np.zeros((10, 10), bool)
@@ -278,6 +385,56 @@ class TestExtractionV2:
         r = read_geotiff(path)
         assert r.data.shape == (64, 64, 3)
         assert r.data.dtype == np.uint16
+
+
+class TestV2Parity:
+    def test_background_marker_stops_bleed(self):
+        """With an invalid (cloud) region, fields must not flood up to
+        the valid-mask boundary: the reference's background marker
+        (vector_extraction_v2.py:398) competes for ambiguous pixels."""
+        from s2sr_tpu.vectors.extraction_v2 import _segment_gradient_device
+
+        rng = np.random.default_rng(3)
+        ndvi = np.full((128, 128), 0.1, np.float32)
+        ndvi[30:70, 30:70] = 0.7          # one field plateau
+        ndvi += rng.normal(0, 0.01, ndvi.shape).astype(np.float32)
+        valid = np.ones((128, 128), bool)
+        valid[:, 100:] = False            # cloud strip on the right
+        labels, _ = _segment_gradient_device(
+            jnp.asarray(ndvi), jnp.asarray(valid), 1.5, 0.05)
+        labels = np.asarray(labels)
+        # nothing labelled inside the invalid strip
+        assert (labels[:, 100:] == 0).all()
+        # the flat background near the cloud boundary must belong to the
+        # background flood, not be annexed by the field's label
+        field_label = np.unique(labels[45:55, 45:55])
+        field_label = field_label[field_label > 0]
+        assert len(field_label) >= 1
+        assert (labels[:, 95:100] != field_label[0]).all()
+
+    def test_edge_strength_nonzero_for_convex_field(self):
+        """The boundary is dilation−mask (reference :589); a close()
+        would be ~identity and zero the edge term for convex fields."""
+        from scipy import ndimage
+        from s2sr_tpu.geo import Affine
+        from s2sr_tpu.vectors.extraction_v2 import compute_field_statistics
+        from s2sr_tpu.vectors.geometry import mask_to_polygons
+
+        ndvi = np.full((64, 64), 0.2, np.float32)
+        ndvi[20:44, 20:44] = 0.8
+        gx = ndimage.sobel(ndvi, axis=1)
+        gy = ndimage.sobel(ndvi, axis=0)
+        gradient = np.sqrt(gx**2 + gy**2)
+        mask = np.zeros((64, 64), bool)
+        mask[20:44, 20:44] = True
+        poly = mask_to_polygons(mask)[0]
+        stats = compute_field_statistics(
+            poly, ndvi, gradient, Affine.identity())
+        assert stats["edge_strength"] > 0.1
+        # oracle: scipy's own dilation boundary
+        boundary = ndimage.binary_dilation(mask, iterations=2) & ~mask
+        want = float(np.mean(gradient[boundary]))
+        assert stats["edge_strength"] == pytest.approx(want, rel=1e-6)
 
 
 class TestWatershedQuality:
