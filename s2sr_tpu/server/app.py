@@ -132,19 +132,34 @@ def create_app(settings: Optional[Settings] = None,
     async def health_check():
         return {"status": "healthy", "service": "up42-sentinel-poc"}
 
+    _device_cache: list = []
+
     @app.get("/api/runtime")
     async def get_runtime():
         """Runtime/observability surface (beyond the reference, SURVEY §5.5
         notes it has no metrics export): device inventory, job counts,
         queue depth."""
-        import jax
+        import asyncio as _asyncio
 
-        try:
-            devices = [{"id": d.id, "platform": d.platform,
-                        "kind": getattr(d, "device_kind", "")}
-                       for d in jax.devices()]
-        except Exception as exc:  # backend not initialisable
-            devices = [{"error": str(exc)}]
+        def _list_devices():
+            import jax
+
+            try:
+                return [{"id": d.id, "platform": d.platform,
+                         "kind": getattr(d, "device_kind", "")}
+                        for d in jax.devices()]
+            except Exception as exc:  # backend not initialisable
+                return [{"error": str(exc)}]
+
+        # jax.devices() initialises the backend — through the axon relay
+        # that can block for seconds-to-minutes, so it must not run on
+        # the event loop; the inventory is immutable, cache it
+        if not _device_cache:
+            devices = await _asyncio.to_thread(_list_devices)
+            if not any("error" in d for d in devices):
+                _device_cache.append(devices)
+        else:
+            devices = _device_cache[0]
         all_jobs = jobs.all()
         by_status: dict = {}
         for job in all_jobs.values():
@@ -322,24 +337,38 @@ def create_app(settings: Optional[Settings] = None,
         from ..pipelines.io import load_rgb
 
         model = items[0][1]["model"]
-        loaded, srs = {}, {}
-        try:
-            for job_id, p in items:
-                jobs.update(job_id, status="processing",
-                            coalesced=len(items),
-                            message=f"Stage 1/2: batched GAN upscaling "
-                                    f"({len(items)} jobs coalesced)...")
+        loaded = {}
+        # one bad upload must fail ONLY its own job (the reference runs
+        # every enhance independently) — load per-job, coalesce the rest
+        good = []
+        for job_id, p in items:
+            jobs.update(job_id, status="processing",
+                        coalesced=len(items),
+                        message=f"Stage 1/2: batched GAN upscaling "
+                                f"({len(items)} jobs coalesced)...")
+            try:
                 loaded[job_id] = load_rgb(p["input_file"])[0]
+                good.append((job_id, p))
+            except Exception as exc:
+                logger.error("coalesced job %s: bad input: %s", job_id, exc)
+                jobs.update(job_id, status="failed", message=str(exc))
+        if not good:
+            return
+        srs = {}
+        try:
             engine = get_engine(model, weights_dir=settings.weights_dir)
-            imgs = [np.asarray(loaded[j]) for j, _ in items]
+            imgs = [np.asarray(loaded[j]) for j, _ in good]
             outs = engine.enhance_serving_many(imgs)
-            srs = {j: o for (j, _), o in zip(items, outs)}
+            if len(outs) != len(good):  # defensive: never mis-pair jobs
+                raise RuntimeError(
+                    f"batch returned {len(outs)} outputs for {len(good)} jobs")
+            srs = {j: o for (j, _), o in zip(good, outs)}
         except Exception as exc:
             logger.error("coalesced SR stage failed: %s", exc)
-            for job_id, _ in items:
+            for job_id, _ in good:
                 jobs.update(job_id, status="failed", message=str(exc))
             return
-        for job_id, p in items:
+        for job_id, p in good:
             run_wow_job(job_id, Path(p["input_file"]), Path(p["output_dir"]),
                         True, auto_fetch=False, model=model,
                         precomputed_sr=srs[job_id])
@@ -385,8 +414,13 @@ def create_app(settings: Optional[Settings] = None,
         job = jobs.get(job_id)
         if job is None:
             raise HTTPException(404, "Job not found")
-        file_path = Path(job["output_dir"]) / filename
-        if not file_path.exists():
+        out_dir = Path(job["output_dir"]).resolve()
+        file_path = (out_dir / filename).resolve()
+        # containment check: the route pattern already refuses path
+        # separators, but never trust a stored/joined path for serving
+        if out_dir not in file_path.parents:
+            raise HTTPException(404, "File not found")
+        if not file_path.is_file():
             raise HTTPException(404, "File not found")
         return file_response(file_path)
 
@@ -448,8 +482,7 @@ def create_app(settings: Optional[Settings] = None,
         return {"job_id": job_id, "status": "queued", "message": msg}
 
     @app.post("/api/enhance")
-    async def enhance_image_upload(request: Request,
-                                   background_tasks: BackgroundTasks):
+    async def enhance_image_upload(request: Request):
         fields, files = request.multipart()
         model = fields.get("model", "realesrgan_x4")
         valid_models = ["realesrgan_x4", "realesrgan_anime"]
@@ -477,21 +510,26 @@ def create_app(settings: Optional[Settings] = None,
         uploaded_path = upload_dir / safe_name
         uploaded_path.write_bytes(upload.content)
 
-        has_capacity = runner.has_capacity()
-        status = "processing" if has_capacity else "queued"
-        message = ("Enhancement starting" if has_capacity
-                   else "Queued due to concurrency limits")
-        jobs.create(job_id, status=status, message=message,
+        # submit synchronously: capacity is observed atomically with the
+        # enqueue (a pre-submit has_capacity + deferred submit lets two
+        # rapid uploads both report "processing" on a 1-slot runner)
+        jobs.create(job_id, status="queued",
+                    message="Queued due to concurrency limits",
                     input_file=str(uploaded_path), output_dir=str(output_dir),
                     model=model)
-        background_tasks.add_task(
-            runner.submit, job_id,
+        started = runner.submit(
+            job_id,
             lambda: run_wow_job(job_id, uploaded_path, output_dir, True,
                                 auto_fetch=False, model=model),
             coalesce_key=("enhance", model),
             payload={"input_file": str(uploaded_path),
                      "output_dir": str(output_dir), "model": model},
             many_fn=run_wow_jobs_coalesced)
+        status, message = "queued", "Queued due to concurrency limits"
+        if started:
+            status, message = "processing", "Enhancement starting"
+            # CAS: never stomp the worker if it already picked the job up
+            jobs.update_if(job_id, "queued", status=status, message=message)
         return {"job_id": job_id, "status": status, "message": message,
                 "model": model}
 
@@ -525,15 +563,23 @@ def create_app(settings: Optional[Settings] = None,
         enhance_fn = None
         if fields.get("enhance_retry", "true").lower() != "false":
             def enhance_fn(arr):
-                from ..models.engine import get_engine
+                def _on_device():
+                    from ..models.engine import get_engine
 
-                # same engine-cache key as the job paths (weights_dir
-                # kwarg included), and the bucketed serving path so an
-                # arbitrary photo size reuses warm executables instead
-                # of paying a per-shape compile
-                engine = get_engine("realesrgan_x4",
-                                    weights_dir=settings.weights_dir)
-                return engine.enhance_serving(arr)
+                    # same engine-cache key as the job paths (weights_dir
+                    # kwarg included), and the bucketed serving path so an
+                    # arbitrary photo size reuses warm executables instead
+                    # of paying a per-shape compile
+                    engine = get_engine("realesrgan_x4",
+                                        weights_dir=settings.weights_dir)
+                    return engine.enhance_serving(arr)
+
+                # device work goes through the runner (sole device
+                # owner) — never concurrently with a running job; on a
+                # busy runner the wait bounds out and decode keeps its
+                # first-pass answer
+                return runner.run_sync(_on_device, timeout=240.0,
+                                       label="decode_sr")
 
         # the scan (pure-Python locating, optional OCR, possibly an SR
         # retry) is CPU/device-heavy — run it off the event loop so job

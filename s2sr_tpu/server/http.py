@@ -199,27 +199,46 @@ class App:
         return self._register("POST", path)
 
     async def dispatch(self, request: Request) -> Tuple[Response, Optional[BackgroundTasks]]:
+        allowed: set = set()
         for route in self.routes:
-            if route.method != request.method:
-                continue
             m = route.pattern.match(request.path)
             if not m:
                 continue
-            request.path_params = {k: unquote(v) for k, v in m.groupdict().items()}
+            if route.method != request.method:
+                allowed.add(route.method)
+                continue
+            # NOTE: no second unquote here — the transport already
+            # percent-decoded the path once (``_handle_connection``);
+            # decoding again would let double-encoded ``..%252f`` smuggle
+            # path separators into single-segment params (traversal).
+            request.path_params = dict(m.groupdict())
             background: Optional[BackgroundTasks] = None
             try:
                 kwargs: Dict[str, Any] = {}
                 sig = inspect.signature(route.handler)
                 for name, param in sig.parameters.items():
+                    # handlers live under `from __future__ import
+                    # annotations`, so annotations arrive as STRINGS —
+                    # compare against both the type and its name
+                    anno = param.annotation
                     if name == "request":
                         kwargs[name] = request
-                    elif param.annotation is BackgroundTasks or name == "background_tasks":
+                    elif (anno is BackgroundTasks or anno == "BackgroundTasks"
+                          or name == "background_tasks"):
                         background = BackgroundTasks()
                         kwargs[name] = background
                     elif name in request.path_params:
                         value = request.path_params[name]
-                        if param.annotation is int:
-                            value = int(value)
+                        if anno is int or anno == "int":
+                            try:
+                                value = int(value)
+                            except ValueError:
+                                # FastAPI's 422 validation shape
+                                return json_response({"detail": [{
+                                    "loc": ["path", name],
+                                    "msg": "value is not a valid integer",
+                                    "type": "type_error.integer",
+                                }]}, 422), None
                         kwargs[name] = value
                     elif name in request.query:
                         kwargs[name] = request.query[name]
@@ -232,7 +251,12 @@ class App:
             except Exception as exc:  # pragma: no cover - defensive
                 logger.error("handler error on %s %s: %s\n%s", request.method,
                              request.path, exc, traceback.format_exc())
-                return json_response({"detail": str(exc)}, 500), None
+                # never echo internal exception text to the client
+                return json_response({"detail": "Internal Server Error"}, 500), None
+        if allowed:
+            return json_response(
+                {"detail": "Method Not Allowed"}, 405,
+                headers={"Allow": ", ".join(sorted(allowed))}), None
         return json_response({"detail": "Not Found"}, 404), None
 
 
@@ -259,9 +283,15 @@ async def _handle_connection(app: App, reader: asyncio.StreamReader,
                 break
             headers: Dict[str, str] = {}
             while True:
-                line = await reader.readline()
+                # headers get the same read timeout as the request line
+                # (slowloris: a stalled client must not pin the task),
+                # and a hard count cap (the 256 MB transport cap below
+                # only bounds the body)
+                line = await asyncio.wait_for(reader.readline(), timeout=75)
                 if line in (b"\r\n", b"\n", b""):
                     break
+                if len(headers) >= 256:
+                    raise ValueError("too many request headers")
                 key, _, value = line.decode("latin1").partition(":")
                 headers[key.strip().lower()] = value.strip()
             if "chunked" in headers.get("transfer-encoding", "").lower():
@@ -293,7 +323,9 @@ async def _handle_connection(app: App, reader: asyncio.StreamReader,
 
             split = urlsplit(target)
             request = Request(
-                method=method,
+                # HEAD is served through the GET route (Starlette
+                # semantics); the body is suppressed on the wire below
+                method="GET" if method == "HEAD" else method,
                 path=unquote(split.path),
                 query=dict(parse_qsl(split.query)),
                 headers=headers,
@@ -304,17 +336,26 @@ async def _handle_connection(app: App, reader: asyncio.StreamReader,
             else:
                 response, background = await app.dispatch(request)
 
+            extra = {**_CORS, **response.headers}
+            # a route-supplied Content-Type (e.g. application/geo+json)
+            # REPLACES the default — never emit two conflicting ones
+            ctype = response.media_type
+            for k in list(extra):
+                if k.lower() == "content-type":
+                    ctype = extra.pop(k)
             head = (
                 f"HTTP/1.1 {response.status_code} "
                 f"{_STATUS_TEXT.get(response.status_code, 'OK')}\r\n"
-                f"Content-Type: {response.media_type}\r\n"
+                f"Content-Type: {ctype}\r\n"
                 f"Content-Length: {len(response.body)}\r\n"
             )
-            for k, v in {**_CORS, **response.headers}.items():
+            for k, v in extra.items():
                 head += f"{k}: {v}\r\n"
-            keep_alive = headers.get("connection", "keep-alive") != "close"
+            # RFC 9110: Connection tokens are case-insensitive
+            keep_alive = headers.get("connection", "keep-alive").lower() != "close"
             head += f"Connection: {'keep-alive' if keep_alive else 'close'}\r\n\r\n"
-            writer.write(head.encode() + response.body)
+            writer.write(head.encode() +
+                         (b"" if method == "HEAD" else response.body))
             await writer.drain()
 
             if background is not None:
@@ -326,7 +367,11 @@ async def _handle_connection(app: App, reader: asyncio.StreamReader,
                             None, lambda f=fn, a=args, k=kwargs: f(*a, **k))
             if not keep_alive:
                 break
-    except (ConnectionResetError, asyncio.IncompleteReadError):
+    except (ConnectionResetError, asyncio.IncompleteReadError,
+            asyncio.TimeoutError, asyncio.LimitOverrunError, ValueError):
+        # timeouts, oversized header lines (readline raises ValueError
+        # past the 64 KB stream limit) and header floods end the
+        # connection quietly instead of killing the task with a traceback
         pass
     finally:
         try:

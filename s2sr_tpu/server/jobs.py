@@ -45,6 +45,18 @@ class JobStore:
             if job_id in self._jobs:
                 self._jobs[job_id].update(fields)
 
+    def update_if(self, job_id: str, expected_status: str,
+                  **fields: Any) -> bool:
+        """Compare-and-set: apply only while the job is still in
+        ``expected_status`` (so a handler's post-submit status bump can
+        never stomp the worker's progress updates)."""
+        with self._lock:
+            job = self._jobs.get(job_id)
+            if job is None or job.get("status") != expected_status:
+                return False
+            job.update(fields)
+            return True
+
     def get(self, job_id: str) -> Optional[dict]:
         with self._lock:
             job = self._jobs.get(job_id)
@@ -162,14 +174,48 @@ class JobRunner:
     def submit(self, job_id: str, fn: Callable[[], None],
                coalesce_key: Optional[tuple] = None,
                payload: Any = None,
-               many_fn: Optional[Callable[[list], None]] = None) -> None:
+               many_fn: Optional[Callable[[list], None]] = None) -> bool:
+        """Enqueue; returns True when a worker can start the job
+        immediately (capacity observed atomically with the enqueue — the
+        handler uses this for its processing/queued response instead of
+        a racy pre-submit ``has_capacity`` check)."""
         with self._cond:
             if self._stopping:
                 raise RuntimeError("job runner is shutting down")
+            starts_now = (len(self._active) + len(self._deque)
+                          < self.max_concurrent)
             self._deque.append(_Item(job_id, fn, coalesce_key, payload,
                                      many_fn))
             self._unfinished += 1
             self._cond.notify()
+            return starts_now
+
+    def run_sync(self, fn: Callable[[], Any], timeout: float = 300.0,
+                 label: str = "inline") -> Any:
+        """Run ``fn`` on the device-owning worker and wait for the
+        result — for request-path device work (the decode SR retry) that
+        must not race a running job on the device. Raises TimeoutError
+        if the runner stays busy past ``timeout`` (callers degrade
+        gracefully); the work still runs when its turn comes, its result
+        is simply discarded."""
+        done = threading.Event()
+        box: Dict[str, Any] = {}
+
+        def wrapper() -> None:
+            try:
+                box["result"] = fn()
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                box["error"] = exc
+            finally:
+                done.set()
+
+        self.submit(f"_sync_{label}_{id(done)}", wrapper)
+        if not done.wait(timeout):
+            raise TimeoutError(
+                f"device runner busy: {label} timed out after {timeout}s")
+        if "error" in box:
+            raise box["error"]
+        return box["result"]
 
     def stop(self, message: str = "Server shut down before job ran",
              timeout: float = 5.0) -> None:

@@ -75,3 +75,9 @@ class DurableJobStore(JobStore):
     def update(self, job_id: str, **fields) -> None:
         super().update(job_id, **fields)
         self._append(job_id, fields)
+
+    def update_if(self, job_id: str, expected_status: str, **fields) -> bool:
+        applied = super().update_if(job_id, expected_status, **fields)
+        if applied:
+            self._append(job_id, fields)
+        return applied

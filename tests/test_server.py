@@ -528,3 +528,170 @@ def test_shutdown_marks_queued_jobs_failed(tmp_path):
     assert "shut down" in store.get("j-queued")["message"]
     with pytest.raises(RuntimeError):
         runner.submit("late", lambda: None)
+
+
+# --- server review fixes (r3) -------------------------------------------
+
+def test_download_rejects_double_encoded_traversal(app):
+    """%252f in the download filename must not become a path separator:
+    the transport decodes once; dispatch must NOT decode again."""
+    app.jobs.create("sr_trav", status="completed",
+                    output_dir=app.settings.data_dir)
+    # what the transport hands dispatch after its single decode
+    resp, _ = asyncio.run(call(
+        app, "GET",
+        "/api/sr/download/sr_trav/..%2f..%2f..%2f..%2f..%2fetc%2fpasswd"))
+    assert resp.status_code == 404
+    assert b"root:" not in resp.body
+    # and over a real socket with the double-encoded original
+    import http.client
+
+    with live_server(app, 18095):
+        conn = http.client.HTTPConnection("127.0.0.1", 18095, timeout=5)
+        conn.request("GET", "/api/sr/download/sr_trav/"
+                     + "..%252f" * 6 + "etc%252fpasswd")
+        r = conn.getresponse()
+        body = r.read()
+        assert r.status == 404
+        assert b"root:" not in body
+        conn.close()
+
+
+def test_method_not_allowed_and_head(app):
+    """Wrong method on an existing path is 405+Allow (FastAPI semantics),
+    and HEAD serves GET routes with the body suppressed."""
+    resp, payload = asyncio.run(call(app, "POST", "/health"))
+    assert resp.status_code == 405
+    assert resp.headers["Allow"] == "GET"
+    assert payload == {"detail": "Method Not Allowed"}
+
+    import http.client
+
+    with live_server(app, 18094):
+        conn = http.client.HTTPConnection("127.0.0.1", 18094, timeout=5)
+        conn.request("HEAD", "/health")
+        r = conn.getresponse()
+        body = r.read()
+        assert r.status == 200
+        assert body == b""
+        assert int(r.getheader("Content-Length")) > 0
+        conn.close()
+
+
+def test_tile_coordinate_validation_422(app):
+    """Non-integer path params are a 422 validation error (FastAPI
+    shape), not a 500 echoing the int() exception."""
+    resp, payload = asyncio.run(call(app, "GET", "/tiles/abc/1/2.png"))
+    assert resp.status_code == 422
+    assert payload["detail"][0]["loc"] == ["path", "z"]
+    assert "integer" in payload["detail"][0]["msg"]
+
+
+def test_geojson_single_content_type(app):
+    """A route-supplied Content-Type replaces the default — exactly one
+    header on the wire (the reference sends application/geo+json)."""
+    vectors_dir = Path(app.settings.data_dir) / "vectors"
+    vectors_dir.mkdir(parents=True, exist_ok=True)
+    (vectors_dir / "fields.geojson").write_text(
+        '{"type": "FeatureCollection", "features": []}')
+    import http.client
+
+    with live_server(app, 18093):
+        conn = http.client.HTTPConnection("127.0.0.1", 18093, timeout=5)
+        conn.request("GET", "/vectors/fields.geojson")
+        r = conn.getresponse()
+        assert r.msg.get_all("Content-Type") == ["application/geo+json"]
+        r.read()
+        conn.close()
+
+
+def test_connection_close_case_insensitive(app):
+    """RFC 9110: 'Connection: Close' (any case) must close the socket."""
+    import socket
+
+    with live_server(app, 18092):
+        s = socket.create_connection(("127.0.0.1", 18092), timeout=5)
+        s.sendall(b"GET /health HTTP/1.1\r\nHost: x\r\n"
+                  b"Connection: Close\r\n\r\n")
+        data = b""
+        while b"\r\n\r\n" not in data:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            data += chunk
+        assert b"Connection: close" in data
+        s.close()
+
+
+def test_submit_capacity_and_run_sync():
+    """submit() reports start-now capacity atomically; run_sync executes
+    on the device-owning worker, propagates errors, and bounds waits."""
+    import threading
+
+    from s2sr_tpu.server.jobs import JobRunner, JobStore
+
+    store = JobStore()
+    runner = JobRunner(store, max_concurrent=1)
+    gate = threading.Event()
+    assert runner.submit("first", lambda: gate.wait(10)) is True
+    assert runner.submit("second", lambda: None) is False  # slot taken
+    gate.set()
+    runner.join(10)
+
+    assert runner.run_sync(lambda: 41 + 1) == 42
+    with pytest.raises(ZeroDivisionError):
+        runner.run_sync(lambda: 1 / 0)
+
+    g2 = threading.Event()
+    runner.submit("block", lambda: g2.wait(5))
+    try:
+        with pytest.raises(TimeoutError):
+            runner.run_sync(lambda: None, timeout=0.2)
+    finally:
+        g2.set()
+    runner.join(10)
+
+
+def test_coalesced_batch_isolates_bad_input(app):
+    """One corrupt upload in a coalesced batch fails only its own job;
+    the valid jobs still complete (reference runs each independently)."""
+    import io
+    import threading
+
+    from PIL import Image
+
+    img = np.random.default_rng(2).integers(0, 255, (64, 64, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+
+    def multipart(payload: bytes):
+        boundary = "bmix"
+        body = (
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="model"\r\n\r\n'
+            f"realesrgan_x4\r\n"
+            f"--{boundary}\r\n"
+            f'Content-Disposition: form-data; name="image"; filename="a.png"\r\n'
+            f"Content-Type: image/png\r\n\r\n"
+        ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+        return body, {"content-type":
+                      f"multipart/form-data; boundary={boundary}"}
+
+    gate = threading.Event()
+    app.runner.submit("hold", lambda: gate.wait(10))
+    job_ids = []
+    for payload in (buf.getvalue(), b"this is not an image",
+                    buf.getvalue()):
+        body, headers = multipart(payload)
+        resp, out = asyncio.run(call(app, "POST", "/api/enhance",
+                                     body=body, headers=headers))
+        assert resp.status_code == 200, out
+        job_ids.append(out["job_id"])
+    gate.set()
+    app.runner.join(600)
+    good0 = app.jobs.get(job_ids[0])
+    bad = app.jobs.get(job_ids[1])
+    good1 = app.jobs.get(job_ids[2])
+    assert good0["status"] == "completed", good0["message"]
+    assert good1["status"] == "completed", good1["message"]
+    assert bad["status"] == "failed"
