@@ -70,7 +70,15 @@ def main() -> None:
         path, metadata = client.fetch_best_scene(aoi, out_dir)
     else:
         client = PublicSentinel2Client(settings)
-        path, metadata = client.fetch_best_scene(aoi, out_dir)
+        try:
+            path, metadata = client.fetch_best_scene(aoi, out_dir)
+        except Exception as exc:
+            # the client raises rather than substituting fake data; the
+            # CLI owns its own last rung (offline runs land here)
+            from ..fetch.smart_fetch import _synthesize_scene
+
+            print(f"fetch failed ({exc}); synthesizing fixture scene")
+            path, metadata = _synthesize_scene(out_dir, aoi)
 
     if args.cutline:
         raster = read_geotiff(path)

@@ -47,7 +47,9 @@ class Scene:
     @classmethod
     def from_stac_feature(cls, feature: dict) -> "Scene":
         props = feature.get("properties", {})
-        raw = props.get("datetime", "")
+        # STAC allows "datetime": null for composite items — never call
+        # .replace on a None
+        raw = str(props.get("datetime") or "")
         try:
             acq = datetime.fromisoformat(raw.replace("Z", "+00:00"))
         except ValueError:
@@ -162,18 +164,32 @@ class PublicSentinel2Client:
     def fetch_best_scene(
         self, aoi_geometry: dict, output_dir: Path,
         scene: Optional[dict] = None,
+        max_age_days: int = 30, max_cloud: float = 30.0,
     ) -> Tuple[Path, dict]:
-        """Degradation ladder: visual asset → RGB bands → synthetic."""
+        """Fetch the chosen (or best-searched) scene: visual asset with
+        an RGB-band-merge fallback. Raises on failure — the caller
+        (smart_fetch) owns the remote → local → synthetic ladder; the
+        client must never silently substitute fake data for a scene it
+        already committed to (reference raises too, up42_client.py:493-500).
+        """
         ensure_directory(output_dir)
-        scenes = self.search(aoi_geometry)
-        if scene is not None and scenes:
-            scenes = [s for s in scenes if s.scene_id == scene["scene_id"]] or scenes
-        if not scenes:
-            from .smart_fetch import _synthesize_scene
+        if scene is not None and scene.get("feature"):
+            # smart_fetch already searched and chose — reuse its feature
+            # (re-searching with different parameters could exclude the
+            # very scene the fetch decision was made on)
+            best = Scene.from_stac_feature(scene["feature"])
+        else:
+            scenes = self.search(aoi_geometry, max_age_days=max_age_days,
+                                 max_cloud=max_cloud)
+            if scene is not None and scenes:
+                scenes = ([s for s in scenes
+                           if s.scene_id == scene["scene_id"]] or scenes)
+            if not scenes:
+                raise ValueError(
+                    f"No Sentinel-2 scenes found within {max_age_days} days "
+                    f"with cloud cover <= {max_cloud}%")
+            best = scenes[0]
 
-            return _synthesize_scene(output_dir, aoi_geometry)
-
-        best = scenes[0]
         ts = datetime.now().strftime("%Y%m%d_%H%M%S")
         out_path = Path(output_dir) / f"{ts}_sentinel2.tif"
         raster: Optional[GeoTiff] = None
@@ -184,23 +200,22 @@ class PublicSentinel2Client:
         except Exception as exc:
             logger.warning("visual asset failed: %s — trying RGB bands", exc)
         if raster is None:
-            try:
-                bands = []
-                for key in ("red", "green", "blue"):
-                    href = best.assets.get(key, {}).get("href")
-                    if not href:
-                        raise KeyError(key)
-                    bands.append(self._download_asset(href, aoi_geometry))
-                stack = np.concatenate([b.data[:, :, :1] for b in bands], axis=-1)
-                scale = max(float(stack.max()) / 255.0, 1.0)
-                raster = GeoTiff((stack / scale).astype(np.uint8),
-                                 transform=bands[0].transform,
-                                 crs=bands[0].crs)
-            except Exception as exc:
-                logger.warning("RGB band merge failed: %s — synthesizing", exc)
-                from .smart_fetch import _synthesize_scene
-
-                return _synthesize_scene(output_dir, aoi_geometry)
+            bands = []
+            for key in ("red", "green", "blue"):
+                href = best.assets.get(key, {}).get("href")
+                if not href:
+                    raise KeyError(f"scene {best.scene_id} missing band {key}")
+                bands.append(self._download_asset(href, aoi_geometry))
+            stack = np.concatenate([b.data[:, :, :1] for b in bands], axis=-1)
+            # L2A TCI rendering: reflectance DN / 3000 full-scale (the
+            # fixed stretch the 'visual' asset itself uses) — a per-scene
+            # max would let one specular pixel black out the composite.
+            # (The reference merges the raw uint16 bands via a GDAL VRT
+            # with no stretch; this composite matches its 'visual' rung.)
+            rgb = np.clip(stack.astype(np.float32) * (255.0 / 3000.0),
+                          0, 255).astype(np.uint8)
+            raster = GeoTiff(rgb, transform=bands[0].transform,
+                             crs=bands[0].crs)
 
         clipped = self._clip_to_aoi(raster, aoi_geometry)
         write_geotiff(clipped, out_path)

@@ -55,15 +55,21 @@ def _stac_search(aoi_geometry: dict, config: FetchConfig) -> Optional[Scene]:
 
 
 def _warp_band_to_grid(band: GeoTiff, dst_transform: Affine,
-                       dst_crs: CRS, size: int) -> np.ndarray:
-    """Nearest-grid warp of one band onto the output grid (the
-    reprojection of NIR/SCL onto the red grid, ``fetch_multiband.py:125-153``)."""
+                       dst_crs: CRS, size: int,
+                       categorical: bool = False) -> np.ndarray:
+    """Warp one band onto the output grid (the reprojection of NIR/SCL
+    onto the red grid, ``fetch_multiband.py:125-153``). ``categorical``
+    selects nearest-neighbour (SCL class codes must never interpolate —
+    the reference uses Resampling.nearest there, ``:152``)."""
     import jax.numpy as jnp
+
+    from ..geo.warp import warp_nearest_batch
 
     ctrl = control_grid(dst_transform, dst_crs, band.transform,
                         band.crs or dst_crs, size, size)
     src = jnp.asarray(band.data[:, :, :1].astype(np.float32))
-    out, _ = warp_bilinear_batch(src, jnp.asarray(ctrl)[None], size, size)
+    warp = warp_nearest_batch if categorical else warp_bilinear_batch
+    out, _ = warp(src, jnp.asarray(ctrl)[None], size, size)
     return np.asarray(out[0, :, :, 0])
 
 
@@ -114,8 +120,8 @@ def fetch_and_stack_multiband(
     size = config.out_size
     red = _warp_band_to_grid(bands["red"], dst_transform, CRS(4326), size)
     nir = _warp_band_to_grid(bands["nir"], dst_transform, CRS(4326), size)
-    scl = np.round(_warp_band_to_grid(bands["scl"], dst_transform,
-                                      CRS(4326), size))
+    scl = _warp_band_to_grid(bands["scl"], dst_transform, CRS(4326), size,
+                             categorical=True)
     stack = np.stack([
         np.clip(red, 0, 65535), np.clip(nir, 0, 65535),
         np.clip(scl, 0, 255),

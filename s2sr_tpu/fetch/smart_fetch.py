@@ -81,6 +81,11 @@ def select_best_local_image(
             acq = acq.replace(tzinfo=None)
         if acq >= cutoff and img["cloud_cover"] <= max_cloud_cover:
             valid.append(img)
+    # synthetic fixtures never compete with real imagery: their sidecar
+    # (cloud 0.0, date=now) would permanently outrank every real scene
+    # and suppress all future fetch rules
+    valid = [img for img in valid
+             if (img["metadata"] or {}).get("source") != "synthetic_fallback"]
     if not valid:
         return None
     valid.sort(key=lambda x: (x["cloud_cover"],
@@ -123,7 +128,7 @@ def check_remote_catalog(
         return None
     best = features[0]
     props = best.get("properties", {})
-    raw = props.get("datetime", "")
+    raw = str(props.get("datetime") or "")  # STAC allows null datetime
     try:
         acq = datetime.fromisoformat(raw.replace("Z", "+00:00"))
     except ValueError:
@@ -137,7 +142,24 @@ def check_remote_catalog(
 
 
 def _synthesize_scene(source_dir: Path, aoi_geometry: Optional[dict]) -> Tuple[Path, dict]:
-    """Deterministic fallback fixture scene + sidecar metadata."""
+    """Deterministic fallback fixture scene + sidecar metadata.
+
+    The sidecar carries ``source: synthetic_fallback`` so scene
+    selection skips it (it must never outrank or block real imagery).
+    An existing fixture is reused rather than re-synthesized each run."""
+    source_dir = Path(source_dir)
+    existing = sorted(source_dir.glob("synthetic_*.tif"))
+    for path in reversed(existing):
+        meta_path = path.with_suffix(".json")
+        if meta_path.exists():
+            try:
+                metadata = read_json(meta_path)
+            except Exception:
+                continue
+            if metadata.get("source") == "synthetic_fallback":
+                logger.warning(
+                    "No imagery source available — reusing fixture %s", path)
+                return path, metadata
     bounds = DEFAULT_BOUNDS
     if aoi_geometry and aoi_geometry.get("coordinates"):
         coords = aoi_geometry["coordinates"]
@@ -196,7 +218,9 @@ def smart_fetch(
         client = PublicSentinel2Client(get_settings())
         try:
             return client.fetch_best_scene(aoi_geometry, Path(source_dir),
-                                           scene=best_remote)
+                                           scene=best_remote,
+                                           max_age_days=max_age_days,
+                                           max_cloud=max_cloud_cover)
         except Exception as exc:
             logger.warning("Remote fetch failed (%s); falling back", exc)
 

@@ -107,6 +107,24 @@ def warp_bilinear_batch(
     return rgb, valid.astype(jnp.float32)
 
 
+@partial(jax.jit, static_argnums=(2, 3))
+def warp_nearest_batch(
+    src: jnp.ndarray,        # (H, W, C) float32
+    ctrl: jnp.ndarray,       # (B, G, G, 2) source (col, row) at controls
+    out_h: int,
+    out_w: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest-neighbour variant of :func:`warp_bilinear_batch` for
+    CATEGORICAL rasters (SCL class codes): interpolating class codes
+    invents classes at boundaries (rasterio uses Resampling.nearest for
+    SCL too, ``fetch_multiband.py:152``)."""
+    h, w, _ = src.shape
+    col, row, valid = _densify_ctrl(ctrl, out_h, out_w, h, w)
+    ci = jnp.clip(jnp.round(col), 0, w - 1).astype(jnp.int32)
+    ri = jnp.clip(jnp.round(row), 0, h - 1).astype(jnp.int32)
+    return src[ri, ci], valid.astype(jnp.float32)
+
+
 def _mercator_bounds(raster: GeoTiff) -> Tuple[float, float, float, float]:
     w, s, e, n = raster.bounds
     assert raster.crs is not None

@@ -50,7 +50,7 @@ def run_esrgan_and_tiles(
         raster = read_geotiff(sr_tif)
         pyramid_tiles(raster, tiles_dir, min_zoom=min_zoom, max_zoom=max_zoom,
                       resampling="lanczos")
-        info = get_raster_info(sr_tif)
+        info = get_raster_info(sr_tif, raster=raster)
         create_tileset_metadata(
             tiles_dir, info.bounds_4326, min_zoom, max_zoom,
             tile_template="/tiles_esrgan/{z}/{x}/{y}.png",

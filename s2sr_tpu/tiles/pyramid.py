@@ -52,7 +52,7 @@ def _base_zoom_tiles(
     keys = list(tiles_for_bounds(bounds_3857, zoom))
     res = resolution(zoom, tile_size)
 
-    src = jnp.asarray(raster.data[:, :, :3].astype(np.float32))
+    src = jnp.asarray(_rgba_source(raster))
     store: TileStore = {}
     for i in range(0, len(keys), batch):
         chunk = keys[i:i + batch]
@@ -74,13 +74,44 @@ def _base_zoom_tiles(
     return store
 
 
+def _rgba_source(raster: GeoTiff) -> np.ndarray:
+    """(H, W, 4) float32 RGB + 0-255 validity channel: honours a source
+    alpha band (warp_to_mercator appends one for rotated footprints) and
+    the raster's nodata value — gdal2tiles given those emits transparency
+    where a bare ``[:, :, :3]`` slice would render opaque black."""
+    data = raster.data
+    rgb = data[:, :, :3].astype(np.float32)
+    alpha = np.full(rgb.shape[:2], 255.0, np.float32)
+    if data.ndim == 3 and data.shape[2] >= 4:
+        a = data[:, :, 3].astype(np.float32)
+        if data.dtype == np.uint16:
+            a = a / 257.0          # 65535 → 255
+        elif data.dtype != np.uint8:
+            a = np.clip(a, 0.0, 1.0) * 255.0
+        alpha = a
+    nodata = getattr(raster, "nodata", None)
+    if nodata is not None:
+        alpha = np.where(np.all(data[:, :, :3] == nodata, axis=-1),
+                         0.0, alpha)
+    return np.concatenate([rgb, alpha[..., None]], axis=-1)
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def _warp_tiles_rgba_u8(src, ctrls, tile_size: int, lanczos: bool):
-    """Warp + quantise + pack RGBA on device (one transfer per batch)."""
+    """Warp + quantise + pack RGBA on device (one transfer per batch).
+
+    ``src`` is (H, W, 3) RGB or (H, W, 4) RGB+validity; the final alpha
+    is the footprint coverage times the warped source validity."""
     warp_fn = warp_lanczos_batch if lanczos else warp_bilinear_batch
-    rgb, alpha = warp_fn(src, ctrls, tile_size, tile_size)
+    out, coverage = warp_fn(src, ctrls, tile_size, tile_size)
+    if src.shape[-1] >= 4:
+        rgb = out[..., :3]
+        alpha = jnp.clip(out[..., 3], 0, 255) / 255.0 * coverage
+    else:
+        rgb = out
+        alpha = coverage
     rgb_u8 = jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
-    alpha_u8 = (alpha * 255).astype(jnp.uint8)
+    alpha_u8 = jnp.round(alpha * 255).astype(jnp.uint8)
     return jnp.concatenate([rgb_u8, alpha_u8[..., None]], axis=-1)
 
 

@@ -12,7 +12,7 @@ from dataclasses import dataclass
 from pathlib import Path
 
 from ..geo.crs import CRS, transform_bounds
-from ..geo.geotiff import read_geotiff, write_geotiff
+from ..geo.geotiff import GeoTiff, read_geotiff, write_geotiff
 from ..geo.warp import warp_to_mercator
 from ..utils import setup_logging, write_json
 from . import pyramid
@@ -42,9 +42,12 @@ _GDAL_DTYPES = {
 }
 
 
-def get_raster_info(raster_path: Path | str) -> RasterInfo:
+def get_raster_info(raster_path: Path | str,
+                    raster: "GeoTiff | None" = None) -> RasterInfo:
+    """Metadata for *raster_path*. Pass an already-read ``raster`` to
+    skip a second full decode (multi-hundred-MB SR rasters on one core)."""
     raster_path = Path(raster_path)
-    r = read_geotiff(raster_path)
+    r = raster if raster is not None else read_geotiff(raster_path)
     crs = r.crs or CRS(4326)
     w, s, e, n = r.bounds
     if crs.is_geographic:
@@ -86,9 +89,14 @@ def generate_xyz_tiles(
     resampling: str = "average",
 ) -> Path:
     raster = read_geotiff(input_path)
+    # 'average' (the gdal2tiles default the reference passes) maps to
+    # bilinear base-zoom sampling + the alpha-weighted 2x2 'average'
+    # overview builder; 'lanczos' engages the device lanczos3 kernel
+    # (the reference's z18-20 SR tiles, esrgan_tiles.py:138)
+    base_resampling = "lanczos" if resampling == "lanczos" else "bilinear"
     return pyramid.generate_xyz_tiles(
         raster, output_dir, min_zoom=min_zoom, max_zoom=max_zoom,
-        tile_size=tile_size,
+        tile_size=tile_size, resampling=base_resampling,
     )
 
 
@@ -122,15 +130,16 @@ def process_raster_to_tiles(
     max_zoom: int = 16,
 ) -> dict:
     """Full raster→tiles pipeline (``tiling.py:226-274``): info, direct
-    device warp into the pyramid (no mercator intermediate file needed —
-    but one is still written for artifact-layout parity when the source
-    is not already 3857), tiles, tileset.json."""
+    device warp into the pyramid, tiles, tileset.json. Unlike the
+    reference there is NO ``<stem>_3857.tif`` intermediate on disk — the
+    base-zoom warp gathers straight from the source raster
+    (:func:`reproject_to_web_mercator` exists for callers that want the
+    artifact)."""
     input_path = Path(input_path)
     logger.info("Processing raster to tiles: %s", input_path)
-    info = get_raster_info(input_path)
-    logger.info("Raster CRS: %s bounds(4326): %s", info.crs, info.bounds_4326)
-
     raster = read_geotiff(input_path)
+    info = get_raster_info(input_path, raster=raster)
+    logger.info("Raster CRS: %s bounds(4326): %s", info.crs, info.bounds_4326)
     pyramid.generate_xyz_tiles(
         raster, tiles_dir, min_zoom=min_zoom, max_zoom=max_zoom
     )
