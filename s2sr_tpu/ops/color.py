@@ -3,9 +3,10 @@
 The WOW/farm enhancement chains hinge on cv2's exact 8-bit conversions
 (``server/app/wow_sr.py:190-207``): RGB↔Lab (D65, sRGB gamma, L scaled
 to 0..255, a/b offset +128) and RGB↔HSV (H in 0..179). These run
-on-device as part of the fused enhancement chain; parity tests check
-≤1 LSB against cv2 (OpenCV's fixed-point tables round slightly
-differently in places).
+on-device as part of the fused enhancement chain. RGB→HSV and RGB→Lab
+are bit-exact vs cv2 (fixed-point pipelines, exhaustively verified);
+HSV→RGB matches cv2's float path; Lab→RGB is within ≤2 LSB of cv2's
+integer inverse (rare — see its docstring).
 
 All functions take/return ``(..., 3)`` arrays; uint8 variants are
 suffixed ``_u8`` and operate on float32 internally.
@@ -48,24 +49,79 @@ def _lab_f_inv(ft: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(t3 > _LAB_T, t3, (ft - _LAB_OFF) / _LAB_K)
 
 
+# --- cv2's exact fixed-point RGB→Lab (8U) pipeline ---------------------
+#
+# cv2.COLOR_RGB2LAB on uint8 runs an integer pipeline (color_lab.cpp):
+# an 11-bit sRGB gamma table (round(2040·γ(i/255))), a 12-bit XYZ matrix
+# with the D65 whitepoint division baked into the rounded coefficients,
+# a 3072-entry cube-root table (round(2¹⁵·f(i/2040))) and CV_DESCALE
+# rounding. Emulating the float formula instead deviates up to 3 LSB on
+# ~0.05% of the cube (dark saturated colors). The tables below are the
+# f64 formula values plus two entry corrections where OpenCV's softfloat
+# init rounds differently — derived by constraint-solving the exhaustive
+# 256³ cv2 oracle (scripts/derive_lab_tables.py); the result is
+# byte-exact vs cv2 on ALL 16 777 216 colors (0 mismatches).
+_LAB_SHIFT = 12
+_LAB_SHIFT2 = 15
+
+
+def _lab_tables() -> tuple:
+    i = np.arange(256) / 255.0
+    gamma = np.where(i <= 0.04045, i / 12.92, ((i + 0.055) / 1.055) ** 2.4)
+    gamma_tab = np.floor(2040.0 * gamma + 0.5).astype(np.int32)
+    x = np.arange(3072) / 2040.0
+    f = np.where(x < 216.0 / 24389.0, x * 841.0 / 108.0 + 16.0 / 116.0,
+                 np.cbrt(x))
+    cbrt_tab = np.floor((1 << _LAB_SHIFT2) * f + 0.5).astype(np.int32)
+    # softfloat-vs-IEEE table-init rounding: the only two entries where
+    # OpenCV's init lands on the other side of .5 (oracle-derived)
+    cbrt_tab[49] -= 1
+    cbrt_tab[628] += 1
+    coeffs = np.floor((1 << _LAB_SHIFT) * np.asarray(_XYZ)
+                      / np.asarray([_XN, 1.0, _ZN])[:, None] + 0.5
+                      ).astype(np.int32)
+    return gamma_tab, cbrt_tab, coeffs
+
+
+_LAB_GAMMA_TAB, _LAB_CBRT_TAB, _LAB_COEFFS = _lab_tables()
+
+
+def _descale(v: jnp.ndarray, n: int) -> jnp.ndarray:
+    return (v + (1 << (n - 1))) >> n
+
+
 def rgb_to_lab_u8(rgb: jnp.ndarray) -> jnp.ndarray:
-    """uint8 RGB → uint8 Lab (cv2.COLOR_RGB2LAB semantics)."""
-    x = rgb.astype(jnp.float32) / 255.0
-    lin = _srgb_to_linear(x)
-    r, g, b = lin[..., 0], lin[..., 1], lin[..., 2]
-    X = (_XYZ[0][0] * r + _XYZ[0][1] * g + _XYZ[0][2] * b) / _XN
-    Y = _XYZ[1][0] * r + _XYZ[1][1] * g + _XYZ[1][2] * b
-    Z = (_XYZ[2][0] * r + _XYZ[2][1] * g + _XYZ[2][2] * b) / _ZN
-    fx, fy, fz = _lab_f(X), _lab_f(Y), _lab_f(Z)
-    L = 116.0 * fy - 16.0
-    a = 500.0 * (fx - fy)
-    bb = 200.0 * (fy - fz)
-    out = jnp.stack([L * 255.0 / 100.0, a + 128.0, bb + 128.0], axis=-1)
-    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    """uint8 RGB → uint8 Lab — bit-exact cv2.COLOR_RGB2LAB (verified
+    against the exhaustive 256³ cube: 0 mismatches)."""
+    gamma = jnp.asarray(_LAB_GAMMA_TAB)
+    cbrt = jnp.asarray(_LAB_CBRT_TAB)
+    C = _LAB_COEFFS
+    i = rgb.astype(jnp.int32)
+    r = jnp.take(gamma, i[..., 0])
+    g = jnp.take(gamma, i[..., 1])
+    b = jnp.take(gamma, i[..., 2])
+    fX = jnp.take(cbrt, _descale(r * C[0, 0] + g * C[0, 1] + b * C[0, 2],
+                                 _LAB_SHIFT))
+    fY = jnp.take(cbrt, _descale(r * C[1, 0] + g * C[1, 1] + b * C[1, 2],
+                                 _LAB_SHIFT))
+    fZ = jnp.take(cbrt, _descale(r * C[2, 0] + g * C[2, 1] + b * C[2, 2],
+                                 _LAB_SHIFT))
+    l_scale = (116 * 255 + 50) // 100                        # 296
+    l_shift = -((16 * 255 * (1 << _LAB_SHIFT2) + 50) // 100)
+    L = _descale(l_scale * fY + l_shift, _LAB_SHIFT2)
+    a = _descale(500 * (fX - fY) + (128 << _LAB_SHIFT2), _LAB_SHIFT2)
+    bb = _descale(200 * (fY - fZ) + (128 << _LAB_SHIFT2), _LAB_SHIFT2)
+    out = jnp.stack([L, a, bb], axis=-1)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
 def lab_to_rgb_u8(lab: jnp.ndarray) -> jnp.ndarray:
-    """uint8 Lab → uint8 RGB (cv2.COLOR_LAB2RGB semantics)."""
+    """uint8 Lab → uint8 RGB (cv2.COLOR_LAB2RGB semantics).
+
+    Float formula: matches cv2's integer inverse within ≤2 LSB on
+    ~0.006% of pixels (cv2's ``Lab2RGBinteger`` tables quantize
+    differently; its structure is not published precisely enough to
+    emulate blind — the forward direction above IS bit-exact)."""
     L = lab[..., 0].astype(jnp.float32) * 100.0 / 255.0
     a = lab[..., 1].astype(jnp.float32) - 128.0
     b = lab[..., 2].astype(jnp.float32) - 128.0

@@ -86,7 +86,13 @@ def _scale_table(base: np.ndarray, quality):
     """libjpeg's quality → table mapping (jpeg_quality_scaling +
     jpeg_add_quant_table): works on traced scalars."""
     q = jnp.clip(quality, 1.0, 100.0)
-    scale = jnp.where(q < 50.0, 5000.0 / q, 200.0 - 2.0 * q)
+    # libjpeg uses INTEGER division (5000/quality) — float division gives
+    # a scale off by up to 1 at some integer qualities (e.g. q=33:
+    # int(5000/33)=151 vs 151.515), shifting quant-table entries by 1.
+    # floor() == integer division for positive q; non-integer traced
+    # qualities degrade gracefully to the same rule applied to floor(q).
+    scale = jnp.where(q < 50.0, jnp.floor(5000.0 / jnp.floor(q)),
+                      200.0 - 2.0 * q)
     return jnp.clip(jnp.floor((base * scale + 50.0) / 100.0), 1.0, 255.0)
 
 

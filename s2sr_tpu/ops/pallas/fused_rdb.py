@@ -282,39 +282,6 @@ def rdb_pallas(x: jnp.ndarray, packed, b14, b5, *, interpret=False):
 # ======================================================================
 
 
-def pack_rdb_weights_v2(p: Params, dtype=jnp.bfloat16):
-    """RDB param tree → delta-form packed weights.
-
-    Returns (wx, w1, w2, w3, w4, b14, b5):
-      wx (3, 3·64, 192): x's contributions, N-order [p5|p4|p3|p2|p1]
-      w1 (3, 3·32, 160): x1's contributions [q5|q4|q3|q2]
-      w2 (3, 3·32, 128): [r5|r4|r3]
-      w3 (3, 3·32,  96): [s5|s4]
-      w4 (3, 3·32,  64): [t5]
-      b14 (1, 128): stage biases [b1|b2|b3|b4], b5 (1, 64)
-    """
-    def sl(k, lo, hi):
-        return p[f"conv{k}"]["kernel"][:, :, lo:hi, :]
-
-    def pack(src_lo, src_hi, ks):
-        return jnp.concatenate([sl(k, src_lo, src_hi) for k in ks], axis=-1)
-
-    wx = pack(0, NF, (5, 4, 3, 2, 1))
-    w1 = pack(NF, NF + G, (5, 4, 3, 2))
-    w2 = pack(NF + G, NF + 2 * G, (5, 4, 3))
-    w3 = pack(NF + 2 * G, NF + 3 * G, (5, 4))
-    w4 = sl(5, NF + 3 * G, NF + 4 * G)
-    b14 = jnp.concatenate([p[f"conv{k}"]["bias"] for k in (1, 2, 3, 4)])
-    b5 = p["conv5"]["bias"]
-
-    def flat(w):
-        return w.reshape(w.shape[0], 3 * w.shape[2], w.shape[3]).astype(dtype)
-
-    return (tuple(flat(w) for w in (wx, w1, w2, w3, w4)),
-            b14.astype(jnp.float32)[None, :],
-            b5.astype(jnp.float32)[None, :])
-
-
 TILE_V2 = 128
 
 

@@ -43,7 +43,22 @@ class TestColor:
     def test_rgb_to_lab(self, img):
         want = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
         got = np.asarray(rgb_to_lab_u8(jnp.asarray(img)))
-        assert max_diff(got, want) <= 1
+        assert max_diff(got, want) == 0  # bit-exact fixed-point pipeline
+
+    def test_rgb_to_lab_exact_on_random(self):
+        """The fixed-point pipeline is byte-exact on arbitrary colors —
+        the old float path was off by up to 3 LSB on dark saturated
+        pixels (oracle-derived tables, scripts/derive_lab_tables.py)."""
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (256, 256, 3), np.uint8)
+        want = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+        got = np.asarray(rgb_to_lab_u8(jnp.asarray(img)))
+        assert max_diff(got, want) == 0
+        # the review's counterexample colors
+        px = np.array([[[5, 7, 39], [43, 12, 72]]], np.uint8)
+        np.testing.assert_array_equal(
+            np.asarray(rgb_to_lab_u8(jnp.asarray(px))),
+            cv2.cvtColor(px, cv2.COLOR_RGB2LAB))
 
     def test_lab_to_rgb(self, img):
         lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
