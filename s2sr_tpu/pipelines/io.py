@@ -27,10 +27,18 @@ def load_rgb(path: Path | str) -> Tuple[np.ndarray, Optional[Affine], Optional[C
         else:
             img = np.repeat(r.data[:, :, :1], 3, axis=2)
         if img.dtype != np.uint8:
-            img = img.astype(np.float64)
             if img.max() > 255:
-                img = (img - img.min()) / (img.max() - img.min() + 1e-6) * 255
-            img = img.astype(np.uint8)
+                # byte-exact reference formula (wow_sr.py:68-71): no
+                # epsilon — an epsilon shifts every boundary-landing
+                # pixel (incl. the max pixel, 255 → 254) one step down
+                lo, hi = img.min(), img.max()
+                if hi == lo:  # constant >255 raster: reference divides 0/0
+                    img = np.zeros(img.shape, np.uint8)
+                else:
+                    img = ((img.astype(np.float64) - lo) / (hi - lo)
+                           * 255).astype(np.uint8)
+            else:
+                img = img.astype(np.uint8)
         return img, r.transform, r.crs
     from PIL import Image
 

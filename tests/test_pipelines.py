@@ -96,3 +96,34 @@ def test_png_input_path(weights_dir, tmp_path):
     assert final.suffix == ".png"
     out = np.asarray(Image.open(final))
     assert out.shape == (192, 192, 3)
+
+
+def test_load_rgb_16bit_reference_normalization(tmp_path):
+    """>8-bit rasters min-max scale with the reference's exact formula
+    (wow_sr.py:68-71, no epsilon): the max pixel lands on 255, every
+    boundary-landing value truncates identically."""
+    from s2sr_tpu.geo import Affine, GeoTiff, write_geotiff
+    from s2sr_tpu.pipelines.io import load_rgb
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 4096, size=(16, 16, 3), dtype=np.uint16)
+    img[0, 0, 0] = 4095
+    path = tmp_path / "scene16.tif"
+    write_geotiff(GeoTiff(img, transform=Affine.identity(), crs=None), path)
+    out, _, _ = load_rgb(path)
+    exp = ((img - img.min()) / (img.max() - img.min()) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(out, exp)
+    assert out.max() == 255
+
+
+def test_load_rgb_16bit_small_values_cast_not_scaled(tmp_path):
+    """A >8-bit raster whose values fit 0-255 casts directly (no stretch)
+    — reference wow_sr.py:72-73."""
+    from s2sr_tpu.geo import Affine, GeoTiff, write_geotiff
+    from s2sr_tpu.pipelines.io import load_rgb
+
+    img = np.full((8, 8, 3), 200, np.uint16)
+    path = tmp_path / "dim16.tif"
+    write_geotiff(GeoTiff(img, transform=Affine.identity(), crs=None), path)
+    out, _, _ = load_rgb(path)
+    np.testing.assert_array_equal(out, np.full((8, 8, 3), 200, np.uint8))
