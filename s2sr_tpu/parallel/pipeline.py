@@ -76,6 +76,13 @@ def pipeline_trunk_apply(
     ``feat``: (B, H, W, C) post-``conv_first`` features. ``num_micro``
     microbatches must divide B (default: min(B, pp)). Returns the same
     (B, H, W, C) the sequential ``lax.scan`` trunk would.
+
+    Composes with data parallelism: when the mesh also has a ``dp``
+    axis, each microbatch's batch dimension is sharded over it — every
+    dp slice runs the same GPipe schedule on its share of the batch
+    (the ppermute ring stays within the slice's pp column), so a
+    dp×pp mesh pipelines depth AND splits the batch with no extra
+    collectives.
     """
     if "pp" not in mesh.axis_names:
         raise ValueError("mesh has no 'pp' axis")
@@ -88,6 +95,10 @@ def pipeline_trunk_apply(
                         if b % d == 0)
     if b % num_micro:
         raise ValueError(f"batch {b} not divisible by num_micro {num_micro}")
+    dp = mesh.shape.get("dp", 1) if "dp" in mesh.axis_names else 1
+    if (b // num_micro) % dp:
+        raise ValueError(
+            f"microbatch size {b // num_micro} not divisible by dp={dp}")
     staged, counts = _pad_body_to_stages(body_params, num_stages)
     per = jax.tree.leaves(staged)[0].shape[1]
     micro = feat.reshape((num_micro, b // num_micro) + feat.shape[1:])
@@ -136,10 +147,11 @@ def pipeline_trunk_apply(
         keep = (idx == num_stages - 1).astype(outbuf.dtype)
         return jax.lax.psum(outbuf * keep, "pp")
 
+    micro_spec = P(None, "dp") if dp > 1 else P()
     out = _shmap(
         spmd, mesh=mesh,
-        in_specs=(P("pp"), P(), P()),
-        out_specs=P(),
+        in_specs=(P("pp"), micro_spec, P()),
+        out_specs=micro_spec,
     )(staged, micro, counts)
     return out.reshape(feat.shape)
 

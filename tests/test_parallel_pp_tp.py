@@ -126,3 +126,34 @@ def test_tp_train_step_with_sharded_params_and_opt_state(rng):
     assert np.isfinite(float(loss))
     spec = params2["conv_first"]["kernel"].sharding.spec
     assert tuple(spec)[-1] == "tp"
+
+
+def test_pipeline_composes_with_dp(rng):
+    """dp×pp 2-D mesh: the trunk pipelines over pp while the microbatch
+    batch dim splits over dp — output equals the sequential trunk AND
+    the pp-only pipeline (the ppermute ring stays within each dp
+    slice's pp column)."""
+    net = RRDBNet(num_feat=16, num_block=8, num_grow_ch=8, scale=2)
+    params = net.init(jax.random.PRNGKey(2))
+    feat = jnp.asarray(rng.random((8, 8, 8, 16)), jnp.float32)
+
+    def blk(c, bp):
+        from s2sr_tpu.models.rrdbnet import _rrdb
+        return _rrdb(c, bp, jnp.float32), None
+
+    want, _ = jax.lax.scan(blk, feat, params["body"])
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "pp"))
+    got = pipeline_trunk_apply(params["body"], feat, mesh,
+                               num_micro=2, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_pipeline_dp_rejects_indivisible_microbatch(rng):
+    net = RRDBNet(num_feat=16, num_block=4, num_grow_ch=8, scale=2)
+    params = net.init(jax.random.PRNGKey(3))
+    feat = jnp.asarray(rng.random((3, 8, 8, 16)), jnp.float32)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "pp"))
+    with pytest.raises(ValueError, match="not divisible by dp"):
+        pipeline_trunk_apply(params["body"], feat, mesh, num_micro=3,
+                             dtype=jnp.float32)
