@@ -90,22 +90,77 @@ def _descale(v: jnp.ndarray, n: int) -> jnp.ndarray:
     return (v + (1 << (n - 1))) >> n
 
 
+def _lut_select(idx: jnp.ndarray, table: np.ndarray, w: int,
+                chunk: int = 1 << 21) -> jnp.ndarray:
+    """Bit-exact table lookup as two one-hot selections on the MXU.
+
+    Per-element ``jnp.take`` serializes on TPU (~9 ns/element — the six
+    Lab lookups cost 3.8 s on one 8192² SR output); this decomposes
+    ``T[i]`` into a row-select (one-hot (N, K/w) × (K/w, w) matmul)
+    followed by a lane-select (one-hot multiply-reduce over w), turning
+    the lookup into MXU work + streamed elementwise at a few hundred
+    bytes/px. Exact under ANY matmul precision: TPU f32 dots truncate
+    operands to bf16 (8 mantissa bits), so each table value is split
+    into two bytes — one-hots (0/1) and bytes (< 2⁸) are bf16-exact,
+    every sum has exactly one nonzero term, and accumulation is f32.
+    Large inputs run in ``lax.map`` chunks so the (N, 2w) intermediate
+    never exceeds a few hundred MB of HBM.
+    """
+    import jax
+
+    k = table.shape[0]
+    t = np.asarray(table, np.int64).reshape(k // w, w)
+    assert (t >= 0).all() and (t < 1 << 16).all()
+    m2 = jnp.asarray(np.concatenate([t >> 8, t & 255], axis=1)
+                     .astype(np.float32))
+    shape = idx.shape
+    flat = idx.reshape(-1)
+    n = flat.shape[0]
+
+    def select(ix):
+        ohh = (ix[:, None] // w == jnp.arange(k // w, dtype=jnp.int32)
+               ).astype(jnp.float32)
+        rows2 = jax.lax.dot_general(ohh, m2, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        rows = 256.0 * rows2[:, :w] + rows2[:, w:]
+        ohl = (ix[:, None] % w == jnp.arange(w, dtype=jnp.int32)
+               ).astype(jnp.float32)
+        return jnp.sum(rows * ohl, axis=-1)
+
+    if n <= chunk:
+        out = select(flat)
+    else:
+        pad = -n % chunk
+        flat = jnp.pad(flat, (0, pad))
+        out = jax.lax.map(select, flat.reshape(-1, chunk)).reshape(-1)[:n]
+    return out.astype(jnp.int32).reshape(shape)
+
+
+def _lab_lookup(idx: jnp.ndarray, table: np.ndarray, w: int) -> jnp.ndarray:
+    """Backend-routed exact lookup: gathers are fast on CPU (and keep
+    the exhaustive-cube tests cheap); TPU takes the MXU formulation.
+    Both paths are bit-identical (``test_lab_mxu_lookup_paths_agree``)."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return _lut_select(idx, table, w)
+    return jnp.take(jnp.asarray(table), idx)
+
+
 def rgb_to_lab_u8(rgb: jnp.ndarray) -> jnp.ndarray:
     """uint8 RGB → uint8 Lab — bit-exact cv2.COLOR_RGB2LAB (verified
     against the exhaustive 256³ cube: 0 mismatches)."""
-    gamma = jnp.asarray(_LAB_GAMMA_TAB)
-    cbrt = jnp.asarray(_LAB_CBRT_TAB)
     C = _LAB_COEFFS
     i = rgb.astype(jnp.int32)
-    r = jnp.take(gamma, i[..., 0])
-    g = jnp.take(gamma, i[..., 1])
-    b = jnp.take(gamma, i[..., 2])
-    fX = jnp.take(cbrt, _descale(r * C[0, 0] + g * C[0, 1] + b * C[0, 2],
-                                 _LAB_SHIFT))
-    fY = jnp.take(cbrt, _descale(r * C[1, 0] + g * C[1, 1] + b * C[1, 2],
-                                 _LAB_SHIFT))
-    fZ = jnp.take(cbrt, _descale(r * C[2, 0] + g * C[2, 1] + b * C[2, 2],
-                                 _LAB_SHIFT))
+    r = _lab_lookup(i[..., 0], _LAB_GAMMA_TAB, 16)
+    g = _lab_lookup(i[..., 1], _LAB_GAMMA_TAB, 16)
+    b = _lab_lookup(i[..., 2], _LAB_GAMMA_TAB, 16)
+    fX = _lab_lookup(_descale(r * C[0, 0] + g * C[0, 1] + b * C[0, 2],
+                              _LAB_SHIFT), _LAB_CBRT_TAB, 64)
+    fY = _lab_lookup(_descale(r * C[1, 0] + g * C[1, 1] + b * C[1, 2],
+                              _LAB_SHIFT), _LAB_CBRT_TAB, 64)
+    fZ = _lab_lookup(_descale(r * C[2, 0] + g * C[2, 1] + b * C[2, 2],
+                              _LAB_SHIFT), _LAB_CBRT_TAB, 64)
     l_scale = (116 * 255 + 50) // 100                        # 296
     l_shift = -((16 * 255 * (1 << _LAB_SHIFT2) + 50) // 100)
     L = _descale(l_scale * fY + l_shift, _LAB_SHIFT2)

@@ -60,6 +60,25 @@ class TestColor:
             np.asarray(rgb_to_lab_u8(jnp.asarray(px))),
             cv2.cvtColor(px, cv2.COLOR_RGB2LAB))
 
+    def test_lab_mxu_lookup_paths_agree(self):
+        """The TPU MXU lookup (`ops.color._lut_select`: one-hot
+        row-select matmul + lane-select reduce, byte-split tables) is
+        bit-identical to the gather path over BOTH full table domains —
+        the serving chain may take either depending on backend."""
+        from s2sr_tpu.ops.color import (
+            _LAB_CBRT_TAB, _LAB_GAMMA_TAB, _lut_select,
+        )
+
+        for tab, w in ((_LAB_GAMMA_TAB, 16), (_LAB_CBRT_TAB, 64)):
+            idx = jnp.asarray(np.arange(tab.shape[0], dtype=np.int32))
+            np.testing.assert_array_equal(
+                np.asarray(_lut_select(idx, tab, w)), tab)
+        # chunked path (n > chunk) splits and reassembles exactly
+        rng = np.random.default_rng(3)
+        idx = jnp.asarray(rng.integers(0, 3072, 5000, dtype=np.int32))
+        got = np.asarray(_lut_select(idx, _LAB_CBRT_TAB, 64, chunk=1024))
+        np.testing.assert_array_equal(got, _LAB_CBRT_TAB[np.asarray(idx)])
+
     def test_lab_to_rgb(self, img):
         lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
         want = cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
