@@ -41,3 +41,39 @@ def tp_shardings(tree, mesh: Mesh, axis: str = "tp"):
 def shard_tree(tree, mesh: Mesh, axis: str = "tp"):
     """``device_put`` every leaf with its :func:`tp_shardings` spec."""
     return jax.tree.map(jax.device_put, tree, tp_shardings(tree, mesh, axis))
+
+
+def make_fsdp_train_step(config, mesh: Mesh, params, opt_state):
+    """dp×tp ("ZeRO-3/FSDP") training step on one 2-D mesh.
+
+    The batch splits over ``dp`` while every weight AND its Adam
+    moments shard on output channels over ``tp`` (each device holds
+    1/|tp| of the model+optimizer); GSPMD inserts the activation
+    all-gathers and gradient reduce-scatter/psum over ICI. ``params``/
+    ``opt_state`` are templates used to build the sharding pytrees —
+    pass them through :func:`shard_tree` (or let the explicit
+    ``in_shardings`` reshard on first call). Outputs keep the sharded
+    layout, so training steps chain without host round-trips.
+
+    Returns ``(jitted_step, optimizer)`` with
+    ``step(params, opt_state, lr, hr) -> (params, opt_state, loss)`` —
+    the same contract as ``training.train.make_train_step``.
+    """
+    import optax
+
+    from ..training.train import batch_sharding, loss_fn, make_optimizer
+
+    tx = make_optimizer(config)
+
+    def step(p, s, lr, hr):
+        loss, grads = jax.value_and_grad(loss_fn)(p, lr, hr, config)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    psh = tp_shardings(params, mesh)
+    osh = tp_shardings(opt_state, mesh)
+    bsh = batch_sharding(mesh)
+    repl = NamedSharding(mesh, P())
+    jitted = jax.jit(step, in_shardings=(psh, osh, bsh, bsh),
+                     out_shardings=(psh, osh, repl))
+    return jitted, tx

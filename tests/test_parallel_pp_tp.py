@@ -157,3 +157,46 @@ def test_pipeline_dp_rejects_indivisible_microbatch(rng):
     with pytest.raises(ValueError, match="not divisible by dp"):
         pipeline_trunk_apply(params["body"], feat, mesh, num_micro=3,
                              dtype=jnp.float32)
+
+
+def test_fsdp_dp_tp_step_matches_unsharded(rng):
+    """dp×tp composition ("ZeRO-3/FSDP"): batch over dp, weights+Adam
+    moments over tp — one step produces the same params/loss as the
+    unsharded step (collectives only re-associate sums)."""
+    import optax
+
+    from s2sr_tpu.parallel.tensor import make_fsdp_train_step
+    from s2sr_tpu.training.train import (
+        TrainConfig, init_training, loss_fn, make_optimizer,
+    )
+
+    config = TrainConfig(num_feat=16, num_block=2, num_grow_ch=8, scale=2,
+                         dtype="float32")
+    params, opt_state = init_training(config)
+    lr = jnp.asarray(rng.random((4, 8, 8, 3)), jnp.float32)
+    hr = jnp.asarray(rng.random((4, 16, 16, 3)), jnp.float32)
+
+    tx = make_optimizer(config)
+
+    @jax.jit
+    def ref_step(p, s, a, b):
+        loss, grads = jax.value_and_grad(loss_fn)(p, a, b, config)
+        updates, s = tx.update(grads, s, p)
+        return optax.apply_updates(p, updates), s, loss
+
+    want_p, _, want_loss = ref_step(params, opt_state, lr, hr)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 4), ("dp", "tp"))
+    step, _ = make_fsdp_train_step(config, mesh, params, opt_state)
+    got_p, got_s, got_loss = step(params, opt_state, lr, hr)
+
+    np.testing.assert_allclose(float(got_loss), float(want_loss), atol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5), got_p, want_p)
+    # the updated weights stay tp-sharded (chainable without resharding)
+    spec = tuple(got_p["conv_first"]["kernel"].sharding.spec)
+    assert spec and spec[-1] == "tp", spec
+    # and the Adam moments shard the same way (the ZeRO-3 property)
+    mu_spec = tuple(
+        got_s[0].mu["conv_first"]["kernel"].sharding.spec)
+    assert mu_spec and mu_spec[-1] == "tp", mu_spec
