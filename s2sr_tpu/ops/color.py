@@ -231,28 +231,80 @@ def rgb_to_hsv_u8(rgb: jnp.ndarray) -> jnp.ndarray:
     return out.astype(jnp.uint8)
 
 
+def _fma_rn(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """Round-to-nearest f32 fused multiply-add a·b+c from plain IEEE f32
+    ops (error-free transformations: Dekker two-product + two-sum).
+
+    Needed because cv2's compiled HSV→RGB contracts ``1 - s*x`` into a
+    hardware fma, and matching it byte-exactly requires the same single
+    rounding; JAX/XLA has no fma primitive and TPU has no f64. Matches
+    the true fma except in double-rounding corner cases — none occur on
+    the full 256³ HSV cube (exhaustively pinned vs cv2)."""
+    from jax.lax import optimization_barrier as ob
+
+    # Every intermediate is barriered: XLA's backend contracts mul+add
+    # chains into hardware fma (and may reassociate under fast-math),
+    # which silently changes the intermediate roundings the EFT depends
+    # on — observed as 1-ulp drift under jit vs op-by-op eager. The
+    # barriers pin each step to one IEEE f32 rounding.
+    split = jnp.float32(4097.0)   # 2^12 + 1 Dekker split for f32
+    ca = ob(split * a)
+    ahi = ob(ca - ob(ca - a))
+    alo = ob(a - ahi)
+    cb = ob(split * b)
+    bhi = ob(cb - ob(cb - b))
+    blo = ob(b - bhi)
+    p = ob(a * b)
+    e1 = ob(ob(ahi * bhi) - p)
+    e2 = ob(e1 + ob(ahi * blo))
+    e3 = ob(e2 + ob(alo * bhi))
+    e = ob(e3 + ob(alo * blo))
+    s = ob(c + p)
+    bv = ob(s - c)
+    err = ob(ob(c - ob(s - bv)) + ob(p - bv))
+    return ob(s + ob(err + e))
+
+
+# cv2's HSV→RGB sector table (b, g, r) ← tab index, color_hsv.cpp
+_HSV_SECTOR = np.array([[1, 3, 0], [1, 0, 2], [3, 0, 1],
+                        [0, 2, 1], [0, 1, 3], [2, 1, 0]], np.int32)
+
+
 def hsv_to_rgb_u8(hsv: jnp.ndarray) -> jnp.ndarray:
-    """uint8 HSV (H 0..179) → uint8 RGB (cv2.COLOR_HSV2RGB)."""
-    h = hsv[..., 0].astype(jnp.float32) * 2.0 / 60.0   # sector position 0..6
-    s = hsv[..., 1].astype(jnp.float32) / 255.0
-    v = hsv[..., 2].astype(jnp.float32)
+    """uint8 HSV (H 0..179) → uint8 RGB — bit-exact cv2.COLOR_HSV2RGB
+    (verified against the exhaustive 256³ cube: 0 mismatches).
+
+    cv2's u8 path runs the float kernel on normalized s, v with h
+    scaled by 6/180, contracts ``1 - s*x`` into hardware fma
+    (``_fma_rn`` reproduces the single rounding), and TRUNCATES the
+    final ×255 — not rounds (the old emulation rounded in the 0..255
+    domain: ±1 LSB on 34% of the cube)."""
+    one = jnp.float32(1.0)
+    s = hsv[..., 1].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    v = hsv[..., 2].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    h = hsv[..., 0].astype(jnp.float32) * jnp.float32(6.0 / 180.0)
+    h = jnp.where(h >= 6.0, h - jnp.float32(6.0), h)
     sector = jnp.floor(h)
     frac = h - sector
-    p = v * (1.0 - s)
-    q = v * (1.0 - s * frac)
-    t = v * (1.0 - s * (1.0 - frac))
-    sector = sector.astype(jnp.int32) % 6
-    r = jnp.select([sector == 0, sector == 1, sector == 2,
-                    sector == 3, sector == 4, sector == 5],
-                   [v, q, p, p, t, v])
-    g = jnp.select([sector == 0, sector == 1, sector == 2,
-                    sector == 3, sector == 4, sector == 5],
-                   [t, v, v, q, p, p])
-    b = jnp.select([sector == 0, sector == 1, sector == 2,
-                    sector == 3, sector == 4, sector == 5],
-                   [p, p, t, v, v, q])
-    rgb = jnp.stack([r, g, b], axis=-1)
-    return jnp.clip(jnp.round(rgb), 0, 255).astype(jnp.uint8)
+    sec = jnp.clip(sector.astype(jnp.int32), 0, 5)
+    tab = jnp.stack([
+        v,
+        v * (one - s),
+        v * _fma_rn(-s, frac, one),
+        v * _fma_rn(-s, one - frac, one),
+    ], axis=-1)
+    # static per-sector lane picks via select (a take_along_axis gather
+    # here would serialize on TPU exactly like the Lab jnp.take did)
+    conds = [sec == k for k in range(6)]
+
+    def pick(channel):
+        return jnp.select(conds,
+                          [tab[..., _HSV_SECTOR[k][channel]]
+                           for k in range(6)])
+
+    rgb = jnp.stack([pick(2), pick(1), pick(0)], axis=-1)
+    return jnp.clip(jnp.trunc(rgb * jnp.float32(255.0)), 0, 255) \
+        .astype(jnp.uint8)
 
 
 # --- float YCrCb (cv2 COLOR_RGB2YCrCb float semantics) -----------------
