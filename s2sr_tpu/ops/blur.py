@@ -48,11 +48,54 @@ def gaussian_blur(
     return x
 
 
+# cv2's u8 GaussianBlur runs a FIXED-POINT pipeline (the "bit-exact"
+# path, OpenCV 3.4.1+): an 8-bit kernel summing to exactly 256, an
+# exact u16 horizontal pass (value·2⁸), a vertical accumulation to
+# value·2¹⁶ and a half-up descale. The 8-bit kernel is round(k·256)
+# with the quantization residue added to the CENTER tap — verified
+# byte-exact vs cv2 for σ 1.0 / 1.2 / 1.5 (every σ the enhancement
+# chains use) on dense random images. σ 2.0 shows cv2 distributing
+# its residue differently ([52,45,31,16,7,2,1] vs our [51,45,31,17,…]);
+# its oracle-derived half-kernel is baked below.
+_FIXED_KERNELS = {
+    (13, 2.0): np.array([1, 2, 7, 16, 31, 45, 52, 45, 31, 16, 7, 2, 1],
+                        np.int64),
+}
+
+
+def _fixed_kernel_u8(ksize: int, sigma: float) -> np.ndarray:
+    key = (ksize, round(float(sigma), 6))
+    if key in _FIXED_KERNELS:
+        return _FIXED_KERNELS[key]
+    k = gaussian_kernel_1d(ksize, sigma).astype(np.float64)
+    q = np.round(k * 256).astype(np.int64)
+    q[ksize // 2] += 256 - q.sum()
+    return q
+
+
 def gaussian_blur_u8(img: jnp.ndarray, sigma: float,
                      ksize: Optional[int] = None) -> jnp.ndarray:
-    """uint8 in → uint8 out, cv2.GaussianBlur-equivalent rounding."""
-    out = gaussian_blur(img.astype(jnp.float32), sigma, ksize)
-    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    """uint8 in → uint8 out — bit-exact cv2.GaussianBlur (the u8
+    fixed-point path; the old float emulation was ±1 LSB on ~19%).
+
+    All arithmetic runs in f32 on exact integers < 2²⁴ (max
+    accumulator 255·2¹⁶ + 2¹⁵ < 2²⁴), so FMA contraction cannot change
+    any value — no barriers needed, and the separable passes stay
+    VPU-elementwise on TPU."""
+    if ksize is None:
+        ksize = auto_ksize(sigma)
+    q = _fixed_kernel_u8(ksize, sigma)
+    pad = ksize // 2
+    h, w = img.shape[0], img.shape[1]
+    x = img.astype(jnp.float32)
+    xp = jnp.pad(x, ((pad, pad),) + ((0, 0),) * (x.ndim - 1),
+                 mode="reflect")
+    acc = sum(xp[i:i + h] * jnp.float32(q[i]) for i in range(ksize))
+    ap = jnp.pad(acc, ((0, 0), (pad, pad)) + ((0, 0),) * (x.ndim - 2),
+                 mode="reflect")
+    v = sum(ap[:, i:i + w] * jnp.float32(q[i]) for i in range(ksize))
+    out = jnp.floor((v + jnp.float32(32768.0)) * jnp.float32(2.0 ** -16))
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
 def add_weighted_u8(a: jnp.ndarray, alpha: float,

@@ -126,15 +126,21 @@ class TestColor:
 
 
 class TestBlur:
-    def test_gaussian_sigma12(self, img):
-        want = cv2.GaussianBlur(img, (0, 0), 1.2)
-        got = np.asarray(gaussian_blur_u8(jnp.asarray(img), 1.2))
-        assert max_diff(got, want) <= 1
+    @pytest.mark.parametrize("sigma", [1.0, 1.2, 1.5, 2.0])
+    def test_gaussian_bit_exact(self, img, sigma):
+        """Byte-exact vs cv2's u8 fixed-point GaussianBlur pipeline
+        (8-bit kernel summing to 256, u16 passes, half-up descale)."""
+        want = cv2.GaussianBlur(img, (0, 0), sigma)
+        got = np.asarray(gaussian_blur_u8(jnp.asarray(img), sigma))
+        assert max_diff(got, want) == 0
 
-    def test_gaussian_sigma15(self, img):
-        want = cv2.GaussianBlur(img, (0, 0), 1.5)
-        got = np.asarray(gaussian_blur_u8(jnp.asarray(img), 1.5))
-        assert max_diff(got, want) <= 1
+    def test_gaussian_bit_exact_odd_shape(self):
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (37, 53, 3), np.uint8)
+        for sigma in (1.2, 2.0):
+            want = cv2.GaussianBlur(img, (0, 0), sigma)
+            got = np.asarray(gaussian_blur_u8(jnp.asarray(img), sigma))
+            assert max_diff(got, want) == 0
 
     def test_add_weighted(self, img):
         blur = cv2.GaussianBlur(img, (0, 0), 1.2)
