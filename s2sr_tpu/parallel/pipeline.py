@@ -83,10 +83,20 @@ def pipeline_trunk_apply(
     (the ppermute ring stays within the slice's pp column), so a
     dp×pp mesh pipelines depth AND splits the batch with no extra
     collectives.
+
+    Composes with tensor-axis weight sharding: when the mesh also has a
+    ``tp`` axis, every stage-weight leaf whose output-channel (last) dim
+    divides by |tp| is STORED sharded over it (each device holds
+    1/|tp| of its stage's weights — the ZeRO-3 layout along the depth
+    pipeline) and all-gathered over ICI once per stage before use. A
+    dp×pp×tp mesh therefore splits batch, depth, and weight memory on
+    one 3-D mesh. Math is unchanged — the gather reconstitutes the
+    exact stage weights.
     """
     if "pp" not in mesh.axis_names:
         raise ValueError("mesh has no 'pp' axis")
     num_stages = mesh.shape["pp"]
+    tp = mesh.shape.get("tp", 1) if "tp" in mesh.axis_names else 1
     b = feat.shape[0]
     if num_micro is None:
         # largest divisor of the batch ≤ the stage count (fills the
@@ -101,6 +111,19 @@ def pipeline_trunk_apply(
             f"microbatch size {b // num_micro} not divisible by dp={dp}")
     staged, counts = _pad_body_to_stages(body_params, num_stages)
     per = jax.tree.leaves(staged)[0].shape[1]
+
+    # tp weight sharding: leaf (S, per, ..., C) → P("pp", ..., "tp") when
+    # C divides; the matching flags tree tells the per-device program
+    # which leaves to all-gather back before the stage scan.
+    def _tp_shardable(leaf):
+        c = leaf.shape[-1]
+        return tp > 1 and leaf.ndim >= 3 and c >= tp and c % tp == 0
+
+    gather_flags = jax.tree.map(_tp_shardable, staged)
+    param_specs = jax.tree.map(
+        lambda leaf: P("pp", *([None] * (leaf.ndim - 2)), "tp")
+        if _tp_shardable(leaf) else P("pp"),
+        staged)
     micro = feat.reshape((num_micro, b // num_micro) + feat.shape[1:])
     m = num_micro
     ticks = m + num_stages - 1
@@ -109,6 +132,13 @@ def pipeline_trunk_apply(
     def spmd(stage_params, x_micro, counts_):
         # stage_params: (1, nb_loc, ...) local slice → drop the stage axis
         my_stage = jax.tree.map(lambda a: a[0], stage_params)
+        if tp > 1:
+            # reconstitute the tp-sharded stage weights (ZeRO-3 gather):
+            # one all-gather per stage, amortised over every microbatch
+            my_stage = jax.tree.map(
+                lambda w, g: jax.lax.all_gather(w, "tp", axis=-1,
+                                                tiled=True) if g else w,
+                my_stage, gather_flags)
         idx = jax.lax.axis_index("pp")
         my_count = counts_[idx]
 
@@ -150,7 +180,7 @@ def pipeline_trunk_apply(
     micro_spec = P(None, "dp") if dp > 1 else P()
     out = _shmap(
         spmd, mesh=mesh,
-        in_specs=(P("pp"), micro_spec, P()),
+        in_specs=(param_specs, micro_spec, P()),
         out_specs=micro_spec,
     )(staged, micro, counts)
     return out.reshape(feat.shape)
@@ -178,3 +208,46 @@ def rrdbnet_pipeline_apply(params, x, mesh, *, num_micro=None,
         f = rn._lrelu(rn._up_conv_fused(f, params["conv_up2"], dtype))
     f = rn._lrelu(rn._conv(f, params["conv_hr"], dtype))
     return rn._conv(f, params["conv_last"], dtype).astype(jnp.float32)
+
+
+def make_pp_train_step(config, mesh: Mesh, *, num_micro: int | None = None):
+    """Training step whose forward pipelines the trunk over ``pp``.
+
+    The backward pass streams THROUGH the pipeline: autodiff transposes
+    each forward ``ppermute`` ring step into the reverse-ring
+    ``ppermute``, so activation gradients flow stage-to-stage backwards
+    — the GPipe backward schedule derived by transformation rather than
+    hand-written (the reference trains on a single CUDA device with no
+    pipeline at all; this is the depth-scaling path a >1-chip pod would
+    use). Composes with ``dp`` (batch split) and ``tp`` (ZeRO-3 stage
+    weight sharding) on the same mesh via :func:`pipeline_trunk_apply`.
+
+    Same contract as ``training.train.make_train_step``:
+    ``step(params, opt_state, lr, hr) -> (params, opt_state, loss)``,
+    gradients equal to the sequential step's (pinned in
+    tests/test_parallel_pp_tp.py). RRDBNet family only — the pipeline
+    stages are RRDB blocks.
+    """
+    import optax
+
+    from ..training.train import loss_from_pred, make_optimizer
+
+    if config.family != "rrdbnet":
+        raise ValueError("pp pipelining stages RRDB blocks; family must "
+                         f"be rrdbnet, got {config.family!r}")
+    dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+    tx = make_optimizer(config)
+
+    def pp_loss(params, lr_batch, hr_batch):
+        pred = rrdbnet_pipeline_apply(params, lr_batch, mesh,
+                                      num_micro=num_micro, dtype=dtype,
+                                      scale=config.scale)
+        return loss_from_pred(pred, hr_batch, config)
+
+    def step(params, opt_state, lr_batch, hr_batch):
+        loss, grads = jax.value_and_grad(pp_loss)(params, lr_batch,
+                                                  hr_batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return jax.jit(step), tx

@@ -84,14 +84,19 @@ def model_apply(config: TrainConfig, params, x):
     raise ValueError(f"unknown model family {config.family!r}")
 
 
-def loss_fn(params, lr_batch, hr_batch, config: TrainConfig):
-    pred = model_apply(config, params, lr_batch)
+def loss_from_pred(pred, hr_batch, config: TrainConfig):
+    """Charbonnier (or plain L1) pixel loss on an already-computed
+    prediction — shared by the standard step and the pipelined
+    (``parallel.pipeline.make_pp_train_step``) forward."""
     diff = pred - hr_batch
     if config.charbonnier_eps > 0:
-        loss = jnp.mean(jnp.sqrt(diff * diff + config.charbonnier_eps**2))
-    else:
-        loss = jnp.mean(jnp.abs(diff))
-    return loss
+        return jnp.mean(jnp.sqrt(diff * diff + config.charbonnier_eps**2))
+    return jnp.mean(jnp.abs(diff))
+
+
+def loss_fn(params, lr_batch, hr_batch, config: TrainConfig):
+    return loss_from_pred(model_apply(config, params, lr_batch),
+                          hr_batch, config)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

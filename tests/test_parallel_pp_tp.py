@@ -159,6 +159,83 @@ def test_pipeline_dp_rejects_indivisible_microbatch(rng):
                              dtype=jnp.float32)
 
 
+def test_pipeline_tp_weight_sharding_matches_sequential(rng):
+    """pp×tp 2-D mesh: stage weights STORED sharded over tp (ZeRO-3
+    along the pipeline) and all-gathered per stage — output equals the
+    sequential trunk exactly (the gather reconstitutes the weights)."""
+    net = RRDBNet(num_feat=16, num_block=8, num_grow_ch=8, scale=2)
+    params = net.init(jax.random.PRNGKey(4))
+    feat = jnp.asarray(rng.random((4, 10, 10, 16)), jnp.float32)
+
+    def blk(c, bp):
+        from s2sr_tpu.models.rrdbnet import _rrdb
+        return _rrdb(c, bp, jnp.float32), None
+
+    want, _ = jax.lax.scan(blk, feat, params["body"])
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("pp", "tp"))
+    got = pipeline_trunk_apply(params["body"], feat, mesh,
+                               dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_pipeline_3d_dp_pp_tp_matches_sequential(rng):
+    """The full 3-D composition on one mesh: batch over dp, depth over
+    pp (GPipe), weight memory over tp (ZeRO-3 gather) — equals the
+    sequential trunk."""
+    net = RRDBNet(num_feat=16, num_block=4, num_grow_ch=8, scale=2)
+    params = net.init(jax.random.PRNGKey(5))
+    feat = jnp.asarray(rng.random((4, 8, 8, 16)), jnp.float32)
+
+    def blk(c, bp):
+        from s2sr_tpu.models.rrdbnet import _rrdb
+        return _rrdb(c, bp, jnp.float32), None
+
+    want, _ = jax.lax.scan(blk, feat, params["body"])
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                ("dp", "pp", "tp"))
+    got = pipeline_trunk_apply(params["body"], feat, mesh,
+                               num_micro=2, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_pp_train_step_matches_sequential_step(rng):
+    """One optimizer step through the PIPELINED forward (backward flows
+    through the ppermute ring — GPipe backward by autodiff transpose)
+    produces the same loss and updated params as make_train_step."""
+    from s2sr_tpu.parallel.pipeline import make_pp_train_step
+    from s2sr_tpu.training.train import (
+        TrainConfig, init_training, make_train_step,
+    )
+
+    config = TrainConfig(num_feat=16, num_block=4, num_grow_ch=8,
+                         scale=2, dtype="float32")
+    params, opt_state = init_training(config)
+    lr = jnp.asarray(rng.random((4, 8, 8, 3)), jnp.float32)
+    hr = jnp.asarray(rng.random((4, 16, 16, 3)), jnp.float32)
+
+    ref_step, _ = make_train_step(config)
+    want_p, _, want_loss = ref_step(params, opt_state, lr, hr)
+
+    pp_step, _ = make_pp_train_step(config, _mesh(4, "pp"))
+    got_p, got_s, got_loss = pp_step(params, opt_state, lr, hr)
+
+    np.testing.assert_allclose(float(got_loss), float(want_loss),
+                               atol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5), got_p, want_p)
+
+
+def test_pp_train_step_rejects_non_rrdb_family():
+    from s2sr_tpu.parallel.pipeline import make_pp_train_step
+    from s2sr_tpu.training.train import TrainConfig
+
+    cfg = TrainConfig(family="swinir")
+    with pytest.raises(ValueError, match="rrdbnet"):
+        make_pp_train_step(cfg, _mesh(4, "pp"))
+
+
 def test_fsdp_dp_tp_step_matches_unsharded(rng):
     """dp×tp composition ("ZeRO-3/FSDP"): batch over dp, weights+Adam
     moments over tp — one step produces the same params/loss as the
