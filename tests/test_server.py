@@ -505,6 +505,126 @@ def test_transport_hostile_requests():
         assert raw(b"GET /health HTTP/1.1\r\n\r\n") == b"HTTP/1.1 200 OK"
 
 
+def _multipart_png(img: np.ndarray, fields: dict, boundary: str) -> tuple:
+    """(body, headers) for a PNG upload with extra form fields."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    parts = b""
+    for name, value in fields.items():
+        parts += (f"--{boundary}\r\n"
+                  f'Content-Disposition: form-data; name="{name}"\r\n\r\n'
+                  f"{value}\r\n").encode()
+    parts += (f"--{boundary}\r\n"
+              f'Content-Disposition: form-data; name="image"; '
+              f'filename="up.png"\r\nContent-Type: image/png\r\n\r\n'
+              ).encode() + buf.getvalue()
+    parts += f"\r\n--{boundary}--\r\n".encode()
+    headers = {"Content-Type": f"multipart/form-data; boundary={boundary}"}
+    return parts, headers
+
+
+def test_live_server_mixed_concurrent_soak(app, seeded_scene):
+    """Mixed workload against the REAL socket server: concurrent enhance
+    uploads (device-bound, coalescible), QR decodes (executor-bound), a
+    vectors job, and read-only polls all in flight at once. Every job
+    must complete and the server must shut down cleanly afterwards —
+    this guards against cross-request state bleed and runner/event-loop
+    deadlock under true concurrency (the reference serves the same mix
+    through uvicorn workers, main.py)."""
+    import threading
+    import urllib.request
+
+    from s2sr_tpu.decode import encode_qr
+    from s2sr_tpu.decode.qr_encode import render
+
+    port = 18097
+    base = f"http://127.0.0.1:{port}"
+    errors: list[str] = []
+    rng = np.random.default_rng(7)
+
+    def http(method, path, body=None, headers=None, timeout=30):
+        req = urllib.request.Request(base + path, data=body,
+                                     headers=headers or {}, method=method)
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return json.loads(r.read())
+
+    def poll(path, deadline_s=90):
+        deadline = time.time() + deadline_s
+        while time.time() < deadline:
+            job = http("GET", path)
+            if job["status"] in ("completed", "failed"):
+                return job
+            time.sleep(0.25)
+        raise TimeoutError(f"{path} stuck")
+
+    def enhance_worker(i):
+        try:
+            img = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+            body, headers = _multipart_png(
+                img, {"model": "realesrgan_x4"}, f"soak{i}")
+            payload = http("POST", "/api/enhance", body, headers)
+            job = poll(f"/api/sr/{payload['job_id']}")
+            assert job["status"] == "completed", job["message"]
+        except Exception as exc:  # noqa: BLE001 — collected for the assert
+            errors.append(f"enhance{i}: {exc!r}")
+
+    def decode_worker(i):
+        try:
+            img = render(encode_qr(f"KBTX12345678901{i:02d}", level="M"),
+                         scale=8)
+            body, headers = _multipart_png(
+                img, {"enhance_retry": "false"}, f"soakqr{i}")
+            payload = http("POST", "/api/decode", body, headers)
+            assert payload["serial"] == f"KBTX12345678901{i:02d}", payload
+        except Exception as exc:  # noqa: BLE001
+            errors.append(f"decode{i}: {exc!r}")
+
+    def vectors_worker():
+        try:
+            payload = http("POST", "/api/vectors", b"{}",
+                           {"Content-Type": "application/json"})
+            job = poll(f"/api/vectors/{payload['job_id']}")
+            assert job["status"] == "completed", job["message"]
+        except Exception as exc:  # noqa: BLE001
+            errors.append(f"vectors: {exc!r}")
+
+    def reader_worker(stop_evt):
+        try:
+            while not stop_evt.is_set():
+                assert http("GET", "/health")["status"] == "healthy"
+                http("GET", "/api/metadata")
+                http("GET", "/api/runtime")
+                time.sleep(0.1)
+        except Exception as exc:  # noqa: BLE001
+            errors.append(f"reader: {exc!r}")
+
+    with live_server(app, port):
+        stop_evt = threading.Event()
+        threads = (
+            [threading.Thread(target=enhance_worker, args=(i,))
+             for i in range(3)]
+            + [threading.Thread(target=decode_worker, args=(i,))
+               for i in range(2)]
+            + [threading.Thread(target=vectors_worker)]
+        )
+        reader = threading.Thread(target=reader_worker, args=(stop_evt,))
+        reader.start()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+            assert not t.is_alive(), "soak worker hung"
+        stop_evt.set()
+        reader.join(timeout=10)
+        assert not errors, errors
+        # server still fully responsive after the burst
+        assert http("GET", "/health")["status"] == "healthy"
+
+
 def test_shutdown_marks_queued_jobs_failed(tmp_path):
     """VERDICT r2 #8: shutdown flushes in-flight state — queued jobs are
     durably marked failed instead of silently vanishing."""
