@@ -2,9 +2,16 @@
 
 PY ?= python
 
-.PHONY: test serve bench native fetch smart-fetch tile sr sr-x2 sr-tile \
-        wow-file multiband vectors-v2 vectors-ndvi up down \
-        pipeline pipeline-fast pipeline-farm pipeline-watch wow vectors tiles clean
+.PHONY: help test serve bench native fetch smart-fetch tile sr sr-x2 sr-tile \
+        wow-file multiband vectors-v2 vectors-ndvi up down logs shell \
+        pipeline pipeline-fast pipeline-farm pipeline-status pipeline-watch \
+        pipeline-full wow vectors vectors-api vectors-status tiles clean
+
+help:            ## list targets (reference Makefile:8)
+	@grep -E '^[a-z-]+:.*##' $(MAKEFILE_LIST) | \
+	  awk -F':.*##' '{printf "  %-18s %s\n", $$1, $$2}'
+	@echo "  (plus: test serve bench native fetch tile sr wow-file" \
+	      "multiband vectors-v2 up down pipeline* wow vectors* clean)"
 
 test:
 	$(PY) -m pytest tests/ -q
@@ -61,6 +68,12 @@ up:
 down:
 	docker compose down
 
+logs:            ## tail the server container logs (reference Makefile:277)
+	docker compose logs -f server
+
+shell:           ## shell into the server container (reference Makefile:281)
+	docker compose exec server /bin/bash
+
 # --- smoke workflow against a running server (reference Makefile:279-324)
 HOST ?= http://localhost:8080
 
@@ -76,6 +89,18 @@ pipeline-farm:
 	curl -s -X POST $(HOST)/api/pipeline -H 'Content-Type: application/json' \
 	  -d '{"sr_type": "farm"}'
 
+pipeline-status: ## last pipeline job status (reference Makefile:317)
+	@curl -s $(HOST)/api/pipelines | $(PY) -c "import json,sys; \
+	j=json.load(sys.stdin)['jobs']; \
+	k=sorted(j)[-1] if j else sys.exit('no pipeline jobs'); \
+	print(json.dumps(j[k], indent=2))"
+
+pipeline-full:   ## pipeline then vectors when done (reference Makefile:457)
+	@curl -s -X POST $(HOST)/api/pipeline -H 'Content-Type: application/json' -d '{}'
+	@echo; echo "waiting for pipeline, then extracting vectors..."
+	@while curl -s $(HOST)/api/pipelines | grep -q '"status": "processing"'; do sleep 5; done
+	@curl -s -X POST $(HOST)/api/vectors -H 'Content-Type: application/json' -d '{}'
+
 pipeline-watch:
 	@while true; do \
 	  curl -s $(HOST)/api/pipelines | $(PY) -c "import json,sys; \
@@ -88,6 +113,10 @@ wow:
 
 vectors:
 	curl -s -X POST $(HOST)/api/vectors -H 'Content-Type: application/json' -d '{}'
+
+vectors-api:     ## trigger extraction with explicit params (reference Makefile:438)
+	curl -s -X POST $(HOST)/api/vectors -H 'Content-Type: application/json' \
+	  -d '{"min_area_ha": 0.5, "max_area_ha": 500, "simplify_tolerance": 1.0}'
 
 vectors-status:
 	curl -s $(HOST)/api/vectors/metadata

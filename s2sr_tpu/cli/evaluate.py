@@ -15,6 +15,16 @@ from ..tiles.png import decode_png
 from ..utils.metrics import psnr, ssim
 
 
+def _json_safe(v):
+    """Identical inputs yield PSNR=inf; json.dumps would emit the
+    non-standard ``Infinity`` literal that strict parsers (jq, JSON
+    spec) reject. Encode it as null — the ``identical``/``max_abs_diff``
+    fields carry the exact-match signal."""
+    if v is None or not np.isfinite(v):
+        return None
+    return round(float(v), 2)
+
+
 def load(path: Path) -> np.ndarray:
     if path.suffix == ".png":
         return decode_png(path.read_bytes())
@@ -39,19 +49,25 @@ def main() -> None:
                 continue
             ia, ib = load(tile_a), load(tile_b)
             scores.append(psnr(ia, ib))
+        finite = [s for s in scores if np.isfinite(s)]
         print(json.dumps({
             "tiles": len(scores),
-            "psnr_mean": round(float(np.mean(scores)), 2) if scores else None,
-            "psnr_min": round(float(np.min(scores)), 2) if scores else None,
+            "identical_tiles": len(scores) - len(finite),
+            "psnr_mean": _json_safe(np.mean(finite) if finite else np.inf)
+            if scores else None,
+            "psnr_min": _json_safe(np.min(scores)) if scores else None,
         }))
     else:
         ia, ib = load(a), load(b)
         if ia.shape != ib.shape:
             raise SystemExit(f"shape mismatch: {ia.shape} vs {ib.shape}")
+        max_diff = int(np.abs(ia.astype(int) - ib.astype(int)).max())
+        s = ssim(ia, ib)
         print(json.dumps({
-            "psnr": round(psnr(ia, ib), 2),
-            "ssim": round(ssim(ia, ib), 4),
-            "max_abs_diff": int(np.abs(ia.astype(int) - ib.astype(int)).max()),
+            "psnr": _json_safe(psnr(ia, ib)),
+            "ssim": round(float(s), 4) if np.isfinite(s) else None,
+            "max_abs_diff": max_diff,
+            "identical": max_diff == 0,
         }))
 
 

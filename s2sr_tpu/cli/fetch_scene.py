@@ -23,19 +23,29 @@ def apply_cutline(raster, aoi_geometry):
     from ..geo.crs import CRS, transform_points
     from ..vectors.geometry import rasterize_polygon
 
-    coords = aoi_geometry["coordinates"]
+    # normalise to a list of polygons (each a list of rings) so a
+    # MultiPolygon AOI keeps EVERY part — gdalwarp -cutline clips to the
+    # full multipolygon, not its first member
     if aoi_geometry.get("type") == "MultiPolygon":
-        coords = coords[0]
+        polygons = list(aoi_geometry["coordinates"])
+    else:
+        polygons = [aoi_geometry["coordinates"]]
     # AOI is lon/lat; project into the raster CRS if needed
     if raster.crs is not None and not raster.crs.is_geographic:
-        projected = []
-        for ring in coords:
-            arr = np.asarray(ring, np.float64)
-            x, y = transform_points(CRS(4326), raster.crs,
-                                    arr[:, 0], arr[:, 1])
-            projected.append(np.stack([x, y], axis=-1).tolist())
-        coords = projected
-    mask = rasterize_polygon(coords, raster.data.shape[:2], ~raster.transform)
+        projected_polys = []
+        for poly in polygons:
+            projected = []
+            for ring in poly:
+                arr = np.asarray(ring, np.float64)
+                x, y = transform_points(CRS(4326), raster.crs,
+                                        arr[:, 0], arr[:, 1])
+                projected.append(np.stack([x, y], axis=-1).tolist())
+            projected_polys.append(projected)
+        polygons = projected_polys
+    mask = np.zeros(raster.data.shape[:2], bool)
+    for poly in polygons:
+        mask |= rasterize_polygon(poly, raster.data.shape[:2],
+                                  ~raster.transform)
     alpha = (mask * 255).astype(raster.data.dtype)
     data = np.concatenate([
         np.where(mask[:, :, None], raster.data, 0),

@@ -131,10 +131,12 @@ def main() -> None:
     if args.data_dir:
         from s2sr_tpu.pipelines.io import load_rgb
 
-        pool = [load_rgb(p)[0]
-                for p in sorted(Path(args.data_dir).glob("*.tif"))]
+        paths = sorted(p for p in Path(args.data_dir).iterdir()
+                       if p.suffix.lower() in (".tif", ".tiff", ".png"))
+        pool = [load_rgb(p)[0] for p in paths]
         if not pool:
-            raise SystemExit(f"no .tif files in {args.data_dir}")
+            raise SystemExit(
+                f"no .tif/.tiff/.png files in {args.data_dir}")
     else:
         pool = [synthetic_fields(size=(crop_hr * 2,) * 2, seed=1 + i)
                 for i in range(args.pool)]

@@ -356,26 +356,17 @@ class SREngine:
         wins = np.empty((plan.num_windows, wh, ww, 3), img.dtype)
         for i, (y, x) in enumerate(starts):
             wins[i] = img[y:y + wh, x:x + ww]
-        crop_off, dest = plan.crop_boxes()
-        return wins, {"kind": "tiled", "plan": plan, "crop_off": crop_off,
-                      "dest": dest, "h": h, "w": w}
+        return wins, {"kind": "tiled", "plan": plan, "h": h, "w": w}
 
     def _serving_stitch(self, outs: np.ndarray, meta: dict) -> np.ndarray:
         s = self.scale
         h, w = meta["h"], meta["w"]
         if meta["kind"] == "small":
             return outs[0][:h * s, :w * s]
-        plan = meta["plan"]
-        pad = self.tile_pad
-        keep_h = plan.win_h * s - (pad * s if plan.ny > 1 else 0)
-        keep_w = plan.win_w * s - (pad * s if plan.nx > 1 else 0)
-        canvas = np.zeros((h * s, w * s, 3), np.uint8)
-        for i in range(plan.num_windows):
-            cy, cx = meta["crop_off"][i]
-            dy, dx = meta["dest"][i]
-            canvas[dy:dy + keep_h, dx:dx + keep_w] = \
-                outs[i][cy:cy + keep_h, cx:cx + keep_w]
-        return canvas
+        # one shared definition of the keep/crop math with the device
+        # stitch (TilePlan.keep_size/stitch_host) — the byte-equality
+        # between enhance() and enhance_serving() rests on it
+        return meta["plan"].stitch_host(outs)
 
     def enhance_serving(self, img: np.ndarray) -> np.ndarray:
         """uint8 (H, W, 3) → uint8 (sH, sW, 3) without per-shape compiles.

@@ -60,6 +60,11 @@ def _walk(buf: bytes) -> Iterator[Tuple[int, int, bytes]]:
             raise ValueError(f"unsupported wire type {wire}")
 
 
+def _signed64(v: int) -> int:
+    """Varint → signed 64-bit (protobuf two's-complement encoding)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _parse_tensor(buf: bytes) -> Optional[np.ndarray]:
     """TensorProto → ndarray (None if dtype unsupported)."""
     dtype = None
@@ -87,9 +92,21 @@ def _parse_tensor(buf: bytes) -> Optional[np.ndarray]:
                 float_vals.extend(np.frombuffer(value, "<f4").tolist())
         elif field == 3 and wire == 0:                 # version? skip
             pass
-        elif field in (6, 7) and wire in (0, 2):       # double/int vals
+        elif field == 6:                               # double_val
+            if wire == 1:
+                float_vals.append(struct.unpack("<d", value)[0])
+            elif wire == 2:                            # packed doubles
+                float_vals.extend(np.frombuffer(value, "<f8").tolist())
+        elif field in (7, 9):                          # int_val / int64_val
+            # proto3 packs repeated varints (wire 2) by default; negative
+            # ints arrive as 64-bit two's-complement varints either way
             if wire == 0:
-                int_vals.append(value)
+                int_vals.append(_signed64(value))
+            elif wire == 2:                            # packed varints
+                p = 0
+                while p < len(value):
+                    v2, p = _read_varint(value, p)
+                    int_vals.append(_signed64(v2))
     if dtype is None:
         return None
     if content:
@@ -340,12 +357,22 @@ def convert_edsr_pb(path: Path | str, scale: int) -> tuple:
     config = {"channels": feat, "blocks": blocks}
     if wired is not None:
         # wire-accurate: the mean is the (3,) const feeding a Sub/Add
-        # node directly (not through BiasAdd)
+        # node that is NOT a conv bias-add — an Add directly consuming
+        # a conv output is that conv's bias (already wired into params
+        # by wire_ordered_convs) and must not be misread as the DIV2K
+        # mean, or it would be applied twice
         nodes = read_graphdef_nodes(path)
+        by_name = {n["name"]: n for n in nodes}
         cvals = {n["name"]: n["attrs"].get("value") for n in nodes
                  if n["op"] == "Const"}
+        conv_ops = ("Conv2D", "Conv2DBackpropInput")
+
+        def consumes_conv(node):
+            return any(by_name.get(i, {}).get("op") in conv_ops
+                       for i in node["inputs"])
+
         for n in nodes:
-            if n["op"] in ("Sub", "Add", "AddV2"):
+            if n["op"] in ("Sub", "Add", "AddV2") and not consumes_conv(n):
                 for i in n["inputs"]:
                     t = cvals.get(i)
                     if t is not None and t.ndim == 1 and t.shape[0] == 3:

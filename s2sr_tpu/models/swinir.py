@@ -251,6 +251,15 @@ class SwinIR:
         # rematerialise each RSTB on backward (training memory knob —
         # mirrors rrdbnet_apply(remat=True); no-op for inference)
         self.remat = remat
+        # DIV2K RGB mean, as in the original SwinIR (3-channel models).
+        # CONSCIOUS FIX of a reference quirk: the reference's forward
+        # unconditionally overwrites the mean with zeros
+        # (server/app/swinir.py:613-615,626), which would mis-normalise
+        # the released weights (trained WITH the mean); we keep the
+        # mean the weights expect. Note the reference also feeds
+        # cv2-BGR straight in (its "Convert BGR to RGB" comment at
+        # :684-687 converts nothing) — the engine reproduces that
+        # channel order via bgr_order like the RRDBNet path.
         self.mean = jnp.asarray([0.4488, 0.4371, 0.4040], jnp.float32)
         self._bias_idx = jnp.asarray(relative_position_index(window_size))
 
@@ -389,6 +398,9 @@ class SwinIR:
 
 def convert_swinir_state_dict(sd, depths: Sequence[int] = (6,) * 6) -> Params:
     """Released SwinIR ``.pth`` → our pytree (OIHW→HWIO, linear t())."""
+    # 'params' wins over 'params_ema' when both are present — the same
+    # (asymmetric vs RRDBNet) preference as the reference loader
+    # (server/app/swinir.py:674-677)
     if "params" in sd:
         sd = sd["params"]
     if "params_ema" in sd:

@@ -79,6 +79,31 @@ class TilePlan:
         grid = np.stack(np.meshgrid(sy, sx, indexing="ij"), axis=-1)
         return grid.reshape(-1, 2).astype(np.int32)
 
+    def keep_size(self) -> Tuple[int, int]:
+        """Static (keep_h, keep_w) of the region every window contributes
+        after halo cropping — the ONE definition shared by the device
+        stitch (:func:`tiled_apply`) and the host stitch
+        (``SREngine._serving_stitch``); their byte-equality rests on it."""
+        s = self.scale
+        return (self.win_h * s - (self.pad * s if self.ny > 1 else 0),
+                self.win_w * s - (self.pad * s if self.nx > 1 else 0))
+
+    def stitch_host(self, outs: np.ndarray) -> np.ndarray:
+        """Crop-and-place window outputs on host, same write order and
+        crop math as the device ``_stitch`` (numpy twin for the bucketed
+        serving path)."""
+        s = self.scale
+        keep_h, keep_w = self.keep_size()
+        crop_off, dest = self.crop_boxes()
+        canvas = np.zeros((self.height * s, self.width * s,
+                           outs.shape[-1]), outs.dtype)
+        for i in range(self.num_windows):
+            cy, cx = crop_off[i]
+            dy, dx = dest[i]
+            canvas[dy:dy + keep_h, dx:dx + keep_w] = \
+                outs[i][cy:cy + keep_h, cx:cx + keep_w]
+        return canvas
+
     def crop_boxes(self) -> Tuple[np.ndarray, np.ndarray]:
         """Per-window output placement after halo cropping.
 
@@ -180,8 +205,7 @@ def tiled_apply(
     outputs = jax.lax.map(model_fn, windows)
     outputs = outputs.reshape(n_padded, plan.win_h * s, plan.win_w * s, c)[:n]
 
-    keep_h = plan.win_h * s - (pad * s if plan.ny > 1 else 0)
-    keep_w = plan.win_w * s - (pad * s if plan.nx > 1 else 0)
+    keep_h, keep_w = plan.keep_size()
     # clamp: a window whose dest offset + keep size would overrun the
     # canvas cannot occur — reference crop math guarantees fit.
     canvas = jnp.zeros((h * s, w * s, c), outputs.dtype)

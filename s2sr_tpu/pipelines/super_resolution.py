@@ -27,11 +27,41 @@ from .io import load_rgb, save_sr_output
 logger = setup_logging("s2sr_tpu.super_resolution")
 
 
+_MODEL_CACHE: dict = {}
+
+
 def create_sr_model(model: str = "edsr", scale: int = 4):
     """(model instance, params) for a classic family member
-    (``super_resolution.py:92-124``)."""
+    (``super_resolution.py:92-124``).
+
+    Process-wide cached, like ``get_engine`` for the RRDBNet path: the
+    reference reconstructs the cv2.dnn_superres net per job, but on
+    this backend that would re-parse the .pb AND re-trace the jit per
+    request (compiles ride a remote relay here — CLAUDE.md). The cache
+    keys on the weight file's identity/mtime so dropping new weights in
+    is picked up."""
     name = f"{model}_x{scale}"
     config = get_model_config(name)
+    from ..config import get_settings as _gs
+
+    wdir = Path(_gs().weights_dir)
+
+    def _stamp(p: Path):
+        try:
+            return p.stat().st_mtime_ns
+        except OSError:
+            return None
+
+    key = (name, str(wdir), _stamp(wdir / f"{name}.npz"),
+           _stamp(wdir / f"{name}.pb"))
+    if key in _MODEL_CACHE:
+        return _MODEL_CACHE[key]
+    out = _build_sr_model(name, config, scale)
+    _MODEL_CACHE[key] = out
+    return out
+
+
+def _build_sr_model(name: str, config: dict, scale: int):
     instance = build_classic_model(name, config)
     from ..config import get_settings
 
@@ -76,6 +106,16 @@ def create_sr_model(model: str = "edsr", scale: int = 4):
     return instance, params
 
 
+def _jitted_apply(instance):
+    """One jit wrapper per model instance (a fresh ``jax.jit`` each call
+    re-traces every request)."""
+    fn = getattr(instance, "_jit_apply", None)
+    if fn is None:
+        fn = jax.jit(instance.apply)
+        instance._jit_apply = fn
+    return fn
+
+
 def run_classic_sr(instance, params, img: np.ndarray) -> np.ndarray:
     """uint8 (H, W, 3) → uint8 (sH, sW, 3) through a classic model.
 
@@ -91,13 +131,14 @@ def run_classic_sr(instance, params, img: np.ndarray) -> np.ndarray:
     x01 = img.astype(np.float32) / 255.0
     if getattr(instance, "num_ch", 3) == 1:
         ycc = rgb_to_ycrcb_f32(x01)
-        y_hr = jax.jit(instance.apply)(params, jnp.asarray(ycc[..., :1])[None])[0]
+        y_hr = _jitted_apply(instance)(
+            params, jnp.asarray(ycc[..., :1])[None])[0]
         chroma = upscale_cubic(ycc[..., 1:], scale)
         out = ycrcb_to_rgb_f32(
             np.concatenate([np.asarray(y_hr), chroma], axis=-1))
     else:
         out = np.asarray(
-            jax.jit(instance.apply)(params, jnp.asarray(x01)[None])[0])
+            _jitted_apply(instance)(params, jnp.asarray(x01)[None])[0])
     return np.asarray(
         jnp.clip(jnp.round(jnp.asarray(out) * 255.0), 0, 255)
         .astype(jnp.uint8))

@@ -83,6 +83,9 @@ def apply_wow_sr(
         "input_file": str(input_path),
         "output_file": str(final_output),
         "scale": scale,
+        # constant string regardless of model/enhance flags — the
+        # reference hardcodes it too (wow_sr.py:170); the truthful
+        # provenance lives in "stages"/"enhancements"
         "pipeline": "Real-ESRGAN x4 + Enhanced",
         "stages": pipeline_stages,
         "enhancements": (

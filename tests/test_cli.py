@@ -149,3 +149,48 @@ def test_fetch_scene_cutline_offline(tmp_path):
     assert (alpha == 0).any() and (alpha == 255).any()
     # pixels outside the polygon are zeroed
     assert (raster.data[alpha == 0][:, :3] == 0).all()
+
+
+def test_apply_cutline_multipolygon():
+    """A MultiPolygon AOI keeps pixels inside EVERY member polygon
+    (gdalwarp -cutline clips to the full multipolygon, not part 1)."""
+    import numpy as np
+
+    from s2sr_tpu.cli.fetch_scene import apply_cutline
+    from s2sr_tpu.geo import Affine, CRS, GeoTiff
+
+    data = np.full((40, 40, 3), 200, np.uint8)
+    raster = GeoTiff(data, transform=Affine.from_origin(35.0, 32.4, 0.01, 0.01),
+                     crs=CRS(4326))
+
+    def box(x0, y0, x1, y1):
+        return [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]]
+
+    aoi = {"type": "MultiPolygon", "coordinates": [
+        box(35.02, 32.30, 35.10, 32.38),      # rows ~2-10, cols ~2-10
+        box(35.25, 32.05, 35.35, 32.15),      # rows ~25-35, cols ~25-35
+    ]}
+    out = apply_cutline(raster, aoi)
+    alpha = out.data[:, :, 3]
+    assert alpha[5, 5] == 255                 # inside polygon 1
+    assert alpha[30, 30] == 255               # inside polygon 2 (the fix)
+    assert alpha[18, 18] == 0                 # between the two
+    assert (out.data[alpha == 0][:, :3] == 0).all()
+
+
+def test_evaluate_cli_identical_inputs(scene, tmp_path):
+    """PSNR=inf (identical inputs) must still emit STRICT JSON — the
+    default json.dumps 'Infinity' literal breaks jq/spec parsers."""
+    import json
+
+    r = run_cli("s2sr_tpu.cli.evaluate", str(scene), str(scene),
+                cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    def reject(c):
+        raise AssertionError(f"non-standard JSON constant: {c}")
+
+    res = json.loads(r.stdout.strip().splitlines()[-1],
+                     parse_constant=reject)
+    assert res["identical"] is True
+    assert res["psnr"] is None and res["max_abs_diff"] == 0

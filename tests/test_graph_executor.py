@@ -360,3 +360,30 @@ def test_run_classic_sr_single_channel(tmp_path, rng):
         [y_hr, upscale_cubic(ycc[..., 1:], scale)], axis=-1))
     want_u8 = np.clip(np.round(want * 255.0), 0, 255).astype(np.uint8)
     np.testing.assert_array_equal(out, want_u8)
+
+
+def test_edsr_converter_ignores_add_bias_as_mean(tmp_path, rng):
+    """A tail conv whose (3,)-bias is wired through a raw Add (not
+    BiasAdd) is that conv's bias, already in params — it must NOT be
+    misread as the DIV2K input mean (which would apply it twice)."""
+    from s2sr_tpu.models.pb_reader import convert_edsr_pb
+
+    feat = 12
+    g = GB()
+    head = g.conv("x", _k(rng, 3, 3, 3, feat), _k(rng, feat))
+    c1 = g.conv(head, _k(rng, 3, 3, feat, feat), _k(rng, feat))
+    r = g.unary("Relu", c1)
+    c2 = g.conv(r, _k(rng, 3, 3, feat, feat), _k(rng, feat))
+    cur = g.binary("Add", head, c2)
+    body = g.conv(cur, _k(rng, 3, 3, feat, feat), _k(rng, feat))
+    cur = g.binary("Add", head, body)
+    up = g.conv(cur, _k(rng, 3, 3, feat, feat * 4), _k(rng, feat * 4))
+    cur = g.d2s(up, 2)
+    tail = g.conv(cur, _k(rng, 3, 3, feat, 3))           # conv, no BiasAdd
+    tb = np.asarray([0.1, -0.2, 0.3], np.float32)
+    g.binary("Add", tail, g.const(tb, "tailbias"))       # bias via raw Add
+    p = g.write(tmp_path / "edsr_addbias.pb")
+
+    params, config = convert_edsr_pb(p, 2)
+    assert "mean" not in config                          # not the mean...
+    np.testing.assert_allclose(params["tail"]["bias"], tb)   # ...the bias

@@ -208,3 +208,58 @@ def test_create_sr_model_loads_pb(tmp_path, rng, monkeypatch):
     inst, params = create_sr_model("lapsrn", 4)
     out = inst.apply(params, jnp.zeros((1, 6, 6, 3)))
     assert out.shape == (1, 24, 24, 3)
+
+
+def test_parse_tensor_packed_and_negative_ints(tmp_path):
+    """proto3 packs repeated int_val into one wire-2 payload, and
+    negative int32 values arrive as 64-bit two's-complement varints —
+    both must decode (previously the packed form silently became a
+    size-0 array that crashed on reshape)."""
+    from s2sr_tpu.models.pb_reader import read_graphdef_constants
+
+    shape4 = field(2, 2, field(1, 0, 4))
+    packed = b"".join(varint(v) for v in [1, 300, 7, 2])
+    tp = field(1, 0, 3) + field(2, 2, shape4) + field(7, 2, packed)
+    ae = field(1, 2, b"value") + field(2, 2, field(8, 2, tp))
+    nd = (field(1, 2, b"packed") + field(2, 2, b"Const")
+          + field(5, 2, ae))
+    parts = field(1, 2, nd)
+
+    shape1 = field(2, 2, field(1, 0, 1))
+    tp2 = (field(1, 0, 3) + field(2, 2, shape1)
+           + field(7, 0, (1 << 64) - 5))                    # -5
+    ae2 = field(1, 2, b"value") + field(2, 2, field(8, 2, tp2))
+    nd2 = (field(1, 2, b"neg") + field(2, 2, b"Const")
+           + field(5, 2, ae2))
+    parts += field(1, 2, nd2)
+
+    # packed doubles (field 6, wire 2)
+    dvals = np.array([1.5, -2.25], "<f8")
+    tp3 = (field(1, 0, 2) + field(2, 2, field(2, 2, field(1, 0, 2)))
+           + field(6, 2, dvals.tobytes()))
+    ae3 = field(1, 2, b"value") + field(2, 2, field(8, 2, tp3))
+    nd3 = (field(1, 2, b"dbl") + field(2, 2, b"Const")
+           + field(5, 2, ae3))
+    parts += field(1, 2, nd3)
+
+    p = tmp_path / "packed.pb"
+    p.write_bytes(parts)
+    consts = read_graphdef_constants(p)
+    np.testing.assert_array_equal(consts["packed"], [1, 300, 7, 2])
+    np.testing.assert_array_equal(consts["neg"], [-5])
+    np.testing.assert_allclose(consts["dbl"], [1.5, -2.25])
+
+
+def test_create_sr_model_process_cache(tmp_path, monkeypatch):
+    """Classic models are cached per (name, weights identity) like
+    get_engine — a second request must not re-build/re-trace."""
+    from s2sr_tpu.config.settings import Settings
+
+    monkeypatch.setattr(
+        "s2sr_tpu.config.get_settings",
+        lambda: Settings(weights_dir=str(tmp_path), offline=True))
+    from s2sr_tpu.pipelines.super_resolution import create_sr_model
+
+    inst1, params1 = create_sr_model("espcn", 2)
+    inst2, params2 = create_sr_model("espcn", 2)
+    assert inst1 is inst2 and params1 is params2
