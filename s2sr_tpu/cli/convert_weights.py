@@ -38,6 +38,11 @@ def main() -> None:
     parser.add_argument("--model-name", default="realesrgan_x4",
                         help="output weight-file stem (the engine "
                              "model name it will serve as)")
+    parser.add_argument("--ema", action="store_true",
+                        help="--from-ckpt: export the weight EMA "
+                             "(checkpoint must be trained with "
+                             "--ema-decay > 0) — the Real-ESRGAN "
+                             "params_ema convention")
     parser.add_argument("-o", "--output", default=None)
     args = parser.parse_args()
     if bool(args.pth) == bool(args.from_ckpt):
@@ -46,7 +51,8 @@ def main() -> None:
     if args.from_ckpt:
         from ..models.weights import save_params
         from ..training.checkpoint import CheckpointManager
-        from ..training.train import TrainConfig, restore_flexible
+        from ..training.train import (TrainConfig, ema_params,
+                                      restore_flexible)
 
         cfg = TrainConfig(family=args.family,
                           num_feat=args.feat, num_block=args.blocks,
@@ -56,13 +62,24 @@ def main() -> None:
                                        for v in args.depths.split(",")),
                           heads=tuple(int(v)
                                       for v in args.heads.split(",")),
-                          window=args.window, lr_decay_steps=1)
-        params, _, step, _ = restore_flexible(
+                          window=args.window, lr_decay_steps=1,
+                          # any >0 value restores the EmaState slot;
+                          # the decay itself is not part of the tree
+                          ema_decay=0.999 if args.ema else 0.0)
+        params, opt, step, _ = restore_flexible(
             CheckpointManager(args.from_ckpt), cfg)
+        label = "params"
+        if args.ema:
+            ema = ema_params(opt)
+            if ema is None:
+                raise SystemExit(
+                    "--ema: checkpoint carries no EMA (train with "
+                    "--ema-decay > 0)")
+            params, label = ema, "params_ema"
         out = (Path(args.output) if args.output
                else Path(args.from_ckpt) / f"{args.model_name}.npz")
         path = save_params(params, out)
-        print(f"Exported step {step} -> {path}")
+        print(f"Exported step {step} ({label}) -> {path}")
         print(f"Serve it: point weights_dir at {path.parent} "
               f"(model '{args.model_name}')")
         return

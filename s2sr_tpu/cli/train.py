@@ -71,6 +71,11 @@ def main() -> None:
                              "'30,95' — the Real-ESRGAN recipe's third "
                              "degradation; needs --crop a multiple of "
                              "16)")
+    parser.add_argument("--ema-decay", type=float, default=0.0,
+                        help="weight EMA decay (Real-ESRGAN serves "
+                             "params_ema; upstream uses 0.999; 0 = "
+                             "off). Export the EMA with "
+                             "convert_weights --from-ckpt --ema")
     parser.add_argument("--ckpt-dir", default="checkpoints/rrdbnet")
     parser.add_argument("--save-every", type=int, default=2000,
                         help="checkpoint every N steps")
@@ -116,7 +121,8 @@ def main() -> None:
                                      for v in args.heads.split(",")),
                          window=args.window,
                          learning_rate=args.lr,
-                         lr_decay_steps=decay, remat=remat)
+                         lr_decay_steps=decay, remat=remat,
+                         ema_decay=args.ema_decay)
     mesh = build_mesh(args.mesh) if args.mesh else None
     params, opt_state = init_training(config)
     if args.resume and mgr.latest_step is not None:

@@ -17,7 +17,7 @@ fine-tuning objective.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,14 +53,64 @@ class TrainConfig:
     # 23-block flagship on one 16 GB chip (activations for ~345 convs
     # at batch 16 x 48^2 crops exceed HBM without it)
     remat: bool = False
+    # >0: maintain an exponential moving average of the weights inside
+    # the optimizer state (the Real-ESRGAN recipe — its released
+    # checkpoints serve ``params_ema``, cnn_super_resolution.py:205-211;
+    # 0.999 is the upstream value). Riding in opt_state means EVERY
+    # trainer variant (L1/chunked/device-pool/GAN generator/pp/fsdp)
+    # carries it, it checkpoints for free, and it shards like the
+    # params under tp. Extract with :func:`ema_params`.
+    ema_decay: float = 0.0
+
+
+class EmaState(NamedTuple):
+    """Optimizer-state slot holding the weight EMA pytree."""
+
+    ema: dict
+
+
+def _ema_of_params(decay: float) -> optax.GradientTransformation:
+    """Chainable transform: passes updates through unchanged, tracking
+    ``ema = decay·ema + (1-decay)·new_params`` (one fused lerp per
+    step — scan-safe, mesh-safe)."""
+
+    def init_fn(params):
+        return EmaState(jax.tree.map(jnp.asarray, params))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("ema transform requires params")
+        new_p = optax.apply_updates(params, updates)
+        ema = jax.tree.map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.ema, new_p)
+        return updates, EmaState(ema)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def ema_params(opt_state):
+    """The EMA weight pytree from an optimizer state built with
+    ``ema_decay > 0`` — or None when the state carries no EMA."""
+    if isinstance(opt_state, EmaState):
+        return opt_state.ema
+    if type(opt_state) is tuple:
+        for s in opt_state:
+            found = ema_params(s)
+            if found is not None:
+                return found
+    return None
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     if config.lr_decay_steps > 0:
         sched = optax.cosine_decay_schedule(
             config.learning_rate, config.lr_decay_steps, alpha=0.02)
-        return optax.adam(sched)
-    return optax.adam(config.learning_rate)
+        tx = optax.adam(sched)
+    else:
+        tx = optax.adam(config.learning_rate)
+    if config.ema_decay > 0:
+        tx = optax.chain(tx, _ema_of_params(config.ema_decay))
+    return tx
 
 
 def _build_swinir(config: TrainConfig, dtype):
@@ -188,14 +238,15 @@ def restore_flexible(mgr, config: TrainConfig):
     ``config``'s → ``(params, opt_state, step, opt_restored)``.
 
     A cosine schedule adds ``ScaleByScheduleState`` to the Adam state,
-    so a checkpoint trained with decay cannot restore against a
-    constant-LR template (and vice versa). If ``config``'s own template
-    mismatches, the checkpoint is read with the other kind's template,
-    the Adam first/second moments (``ScaleByAdamState``) are
-    transplanted into a fresh optimizer for ``config`` — only the
-    schedule-state leaf actually differs — and ``opt_restored`` is
-    False so callers can note the schedule change; params always
-    restore.
+    and ``ema_decay > 0`` adds an :class:`EmaState` slot — so a
+    checkpoint trained with either cannot restore against a template
+    without it (and vice versa). If ``config``'s own template
+    mismatches, the checkpoint is read with an alternate template
+    (schedule kind and/or EMA presence flipped), the Adam first/second
+    moments (``ScaleByAdamState``) — and the weight EMA when both sides
+    carry one — are transplanted into a fresh optimizer for ``config``,
+    and ``opt_restored`` is False so callers can note the change;
+    params always restore.
     """
     from dataclasses import replace
 
@@ -205,17 +256,49 @@ def restore_flexible(mgr, config: TrainConfig):
         return p, o, step, True
     except ValueError:                   # opt-state tree mismatch
         pass
-    alt = replace(config,
-                  lr_decay_steps=0 if config.lr_decay_steps else 1)
-    p_alt, o_alt = init_training(alt)
-    p, o_alt, step = mgr.restore(p_alt, o_alt)
-    fresh = make_optimizer(config).init(p)
-    # graft the restored Adam moments; keep config's schedule state
-    opt = tuple(
-        a if isinstance(f, optax.ScaleByAdamState)
-        and isinstance(a, optax.ScaleByAdamState) else f
-        for f, a in zip(fresh, o_alt))
-    return p, opt, step, False
+    flip_decay = {"lr_decay_steps": 0 if config.lr_decay_steps else 1}
+    flip_ema = {"ema_decay": 0.0 if config.ema_decay else 0.999}
+    for alt in (replace(config, **flip_decay),
+                replace(config, **flip_ema),
+                replace(config, **flip_decay, **flip_ema)):
+        p_alt, o_alt = init_training(alt)
+        try:
+            p, o_alt, step = mgr.restore(p_alt, o_alt)
+        except ValueError:
+            continue
+
+        fresh = make_optimizer(config).init(p)
+
+        # transplant the restored Adam moments (and the weight EMA,
+        # when the template has a slot for it) BY TYPE — an ema_decay>0
+        # optimizer is a chain whose Adam state nests one level deeper
+        # than the plain adam's, so structural zipping cannot align the
+        # two; each state type occurs at most once.
+        def find(state, typ):
+            if isinstance(state, typ):
+                return state
+            if type(state) is tuple:
+                for s in state:
+                    hit = find(s, typ)
+                    if hit is not None:
+                        return hit
+            return None
+
+        donors = {typ: find(o_alt, typ)
+                  for typ in (optax.ScaleByAdamState, EmaState)}
+
+        def graft(f):
+            for typ, donor in donors.items():
+                if isinstance(f, typ) and donor is not None:
+                    return donor
+            if type(f) is tuple:
+                return tuple(graft(x) for x in f)
+            return f
+
+        return p, graft(fresh), step, False
+    raise ValueError(
+        "checkpoint optimizer state matches no known template "
+        "(tried ±cosine schedule, ±weight EMA)")
 
 
 def make_pool_sampler(scale: int, crop_lr: int, batch: int,

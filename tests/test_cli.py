@@ -194,3 +194,43 @@ def test_evaluate_cli_identical_inputs(scene, tmp_path):
                      parse_constant=reject)
     assert res["identical"] is True
     assert res["psnr"] is None and res["max_abs_diff"] == 0
+
+
+def test_convert_weights_from_ckpt_ema(tmp_path):
+    """convert_weights --from-ckpt --ema exports the weight EMA (the
+    Real-ESRGAN params_ema convention) from an EMA-trained checkpoint."""
+    import numpy as np
+
+    import jax
+
+    from s2sr_tpu.training.checkpoint import CheckpointManager
+    from s2sr_tpu.training.train import (TrainConfig, ema_params,
+                                         init_training, make_train_step)
+
+    cfg = TrainConfig(num_feat=8, num_block=1, num_grow_ch=4,
+                      dtype="float32", ema_decay=0.9)      # scale 4
+    params, opt = init_training(cfg)
+    step, _ = make_train_step(cfg)
+    rng = np.random.default_rng(0)
+    lr = rng.random((2, 8, 8, 3), np.float32)
+    hr = rng.random((2, 32, 32, 3), np.float32)
+    params, opt, _ = step(params, opt, lr, hr)
+    ck = tmp_path / "ckpt"
+    mgr = CheckpointManager(ck)
+    mgr.save(1, params, opt)
+    mgr.wait()
+
+    out = tmp_path / "realesrgan_x4.npz"
+    r = run_cli("s2sr_tpu.cli.convert_weights", "--from-ckpt", str(ck),
+                "--feat", "8", "--blocks", "1", "--grow", "4", "--ema",
+                "-o", str(out), cwd=tmp_path)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "params_ema" in r.stdout and out.exists()
+
+    from s2sr_tpu.models.weights import load_params
+
+    got = load_params(out)
+    want = ema_params(opt)
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-7)

@@ -503,3 +503,130 @@ def test_restore_flexible_transplants_adam_moments(tmp_path):
                          jax.tree.leaves(adam_ckpt.mu)):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     assert any(float(np.abs(v).max()) > 0 for v in jax.tree.leaves(adam.nu))
+
+
+def test_ema_tracks_weights():
+    """ema_decay>0 maintains ema = d*ema + (1-d)*params inside the
+    optimizer state, initialized to the initial params — replayed by
+    hand over 3 steps."""
+    from dataclasses import replace
+
+    from s2sr_tpu.training.train import ema_params
+
+    cfg = replace(TINY, ema_decay=0.5)      # large (1-d) for visibility
+    params0, opt_state = init_training(cfg)
+    step, _ = make_train_step(cfg)
+    lr, hr = _data()
+
+    want = params0
+    params = params0
+    for _ in range(3):
+        params, opt_state, _ = step(params, opt_state, lr, hr)
+        want = jax.tree.map(lambda e, p: 0.5 * e + 0.5 * p, want, params)
+    got = ema_params(opt_state)
+    assert got is not None
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-6, atol=1e-7)
+    # and the EMA genuinely lags the raw params
+    diffs = [float(np.abs(np.asarray(g) - np.asarray(p)).max())
+             for g, p in zip(jax.tree.leaves(got), jax.tree.leaves(params))]
+    assert max(diffs) > 0
+
+
+def test_ema_rides_scanned_and_gan_trainers():
+    """The EMA lives in opt_state, so the scan-chunked, device-pool and
+    GAN-generator trainers all carry it without signature changes."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    from s2sr_tpu.training.gan import GanConfig, make_gan_train_step
+    from s2sr_tpu.training.train import (ema_params,
+                                         make_device_pool_train_step)
+
+    cfg = replace(TINY, ema_decay=0.9)
+    params, opt_state = init_training(cfg)
+    run, _ = make_device_pool_train_step(cfg, crop_lr=8, batch=2, chunk=4)
+    pool = jnp.asarray(
+        np.random.default_rng(0).random((2, 32, 32, 3), np.float32))
+    params, opt_state, losses = run(params, opt_state, pool,
+                                    jax.random.PRNGKey(0))
+    ema = ema_params(opt_state)
+    assert ema is not None and losses.shape == (4,)
+    assert all(np.isfinite(np.asarray(v)).all()
+               for v in jax.tree.leaves(ema))
+
+    gcfg = GanConfig(base=cfg)
+    gstep, disc, g_tx, d_tx = make_gan_train_step(gcfg)
+    d_params = disc.init(jax.random.PRNGKey(1))
+    g_opt, d_opt = g_tx.init(params), d_tx.init(d_params)
+    lr, hr = _data(batch=2, h=8, w=8)
+    params, d_params, g_opt, d_opt, metrics = gstep(
+        params, d_params, g_opt, d_opt, lr, hr)
+    assert ema_params(g_opt) is not None
+    assert np.isfinite(float(metrics["g_loss"]))
+
+
+def test_restore_flexible_ema_both_directions(tmp_path):
+    """An EMA checkpoint restores against a non-EMA template (EMA
+    dropped) and vice versa (EMA slot freshly seeded), with Adam
+    moments transplanted either way."""
+    from dataclasses import replace
+
+    import optax
+
+    from s2sr_tpu.training.checkpoint import CheckpointManager
+    from s2sr_tpu.training.train import ema_params, restore_flexible
+
+    cfg_ema = replace(TINY, ema_decay=0.9)
+    params, opt_state = init_training(cfg_ema)
+    step, _ = make_train_step(cfg_ema)
+    lr, hr = _data()
+    for _ in range(2):
+        params, opt_state, _ = step(params, opt_state, lr, hr)
+    mgr = CheckpointManager(tmp_path / "ck")
+    mgr.save(2, params, opt_state)
+    mgr.wait()
+
+    # ema ckpt -> non-ema template: restores, EMA dropped
+    p, opt, n, ok = restore_flexible(CheckpointManager(tmp_path / "ck"),
+                                     TINY)
+    assert n == 2 and not ok and ema_params(opt) is None
+
+    def find_adam(state):
+        if isinstance(state, optax.ScaleByAdamState):
+            return state
+        if type(state) is tuple:
+            for s in state:
+                f = find_adam(s)
+                if f is not None:
+                    return f
+        return None
+
+    assert int(find_adam(opt).count) == 2
+
+    # ema ckpt -> ema template (same kind): exact restore
+    p2, opt2, n2, ok2 = restore_flexible(
+        CheckpointManager(tmp_path / "ck"), cfg_ema)
+    assert n2 == 2 and ok2
+    got = ema_params(opt2)
+    want = ema_params(opt_state)
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # non-ema ckpt -> ema template: EMA freshly seeded from params
+    mgr2 = CheckpointManager(tmp_path / "ck2")
+    params3, opt3 = init_training(TINY)
+    step3, _ = make_train_step(TINY)
+    params3, opt3, _ = step3(params3, opt3, lr, hr)
+    mgr2.save(1, params3, opt3)
+    mgr2.wait()
+    p4, opt4, n4, ok4 = restore_flexible(
+        CheckpointManager(tmp_path / "ck2"), cfg_ema)
+    assert n4 == 1 and not ok4
+    got4 = ema_params(opt4)
+    assert got4 is not None
+    for g, w in zip(jax.tree.leaves(got4), jax.tree.leaves(p4)):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    assert int(find_adam(opt4).count) == 1
