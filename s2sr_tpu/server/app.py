@@ -174,6 +174,47 @@ def create_app(settings: Optional[Settings] = None,
             "max_concurrent": runner.max_concurrent,
         }
 
+    import time as _time
+
+    _started_at = _time.monotonic()
+
+    @app.get("/metrics")
+    async def get_metrics():
+        """Prometheus text-format scrape endpoint (production
+        observability the reference lacks — SURVEY §5.5 'No metrics
+        export, no Prometheus'). Gauges only, derived from the durable
+        job store and runner; no extra bookkeeping on the hot path."""
+        by_status: dict = {}
+        for job in jobs.all().values():
+            s = str(job.get("status", "unknown"))
+            by_status[s] = by_status.get(s, 0) + 1
+        lines = [
+            "# HELP s2sr_uptime_seconds Server uptime.",
+            "# TYPE s2sr_uptime_seconds gauge",
+            f"s2sr_uptime_seconds {_time.monotonic() - _started_at:.1f}",
+            "# HELP s2sr_jobs Jobs in the durable store by status.",
+            "# TYPE s2sr_jobs gauge",
+        ]
+        lines += [
+            f's2sr_jobs{{status="{s}"}} {n}'
+            for s, n in sorted(by_status.items())
+        ]
+        lines += [
+            "# HELP s2sr_runner_active Jobs currently executing.",
+            "# TYPE s2sr_runner_active gauge",
+            f"s2sr_runner_active {runner.active_count}",
+            "# HELP s2sr_runner_queued Jobs waiting for a device slot.",
+            "# TYPE s2sr_runner_queued gauge",
+            f"s2sr_runner_queued {runner.queued_count}",
+            "# HELP s2sr_runner_max_concurrent Device slots.",
+            "# TYPE s2sr_runner_max_concurrent gauge",
+            f"s2sr_runner_max_concurrent {runner.max_concurrent}",
+        ]
+        from .http import Response
+
+        return Response(body=("\n".join(lines) + "\n").encode(),
+                        media_type="text/plain; version=0.0.4")
+
     @app.get("/api/config")
     async def get_config():
         return {

@@ -83,6 +83,10 @@ def main() -> None:
     ap.add_argument("--blocks", type=int, default=4)
     ap.add_argument("--grow", type=int, default=16)
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--ema-decay", type=float, default=0.0,
+                    help="weight EMA decay (Real-ESRGAN params_ema "
+                         "recipe; 0 = off). Adds an after_l1_ema eval "
+                         "leg comparing the EMA to the raw weights")
     ap.add_argument("--remat", action="store_true",
                     help="rematerialise RRDB blocks on backward — "
                          "required for the 23-block flagship on one "
@@ -139,7 +143,8 @@ def main() -> None:
         print(f"rounding L1 steps down to {args.steps} (chunk {chunk})")
     config = TrainConfig(num_feat=args.feat, num_block=args.blocks,
                          num_grow_ch=args.grow, learning_rate=args.lr,
-                         lr_decay_steps=args.steps, remat=args.remat)
+                         lr_decay_steps=args.steps, remat=args.remat,
+                         ema_decay=args.ema_decay)
     params, opt_state = init_training(config, seed=0)
     start_step = 0
     if args.init_ckpt:
@@ -340,6 +345,14 @@ def main() -> None:
 
     after_l1 = evaluate(params)
     print(f"after L1:         {after_l1}")
+    after_l1_ema = None
+    if args.ema_decay > 0 and args.steps:
+        from s2sr_tpu.training.train import ema_params
+
+        ema_tree = ema_params(opt_state)
+        if ema_tree is not None:
+            after_l1_ema = evaluate(ema_tree)
+            print(f"after L1 (EMA):   {after_l1_ema}")
     after_l1_deg = evaluate_degraded(params)
     if after_l1_deg:
         print(f"after L1 (degraded LR): {after_l1_deg}")
@@ -427,6 +440,8 @@ def main() -> None:
         "bicubic_degraded": baseline_deg,
         "model_init": at_init,
         "after_l1": after_l1,
+        "after_l1_ema": after_l1_ema,
+        "ema_decay": args.ema_decay or None,
         "after_l1_degraded": after_l1_deg,
         "after_gan": after_gan,
         "init_ckpt": args.init_ckpt or None,

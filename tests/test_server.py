@@ -7,6 +7,7 @@ synthetic fixture, offline.
 
 import asyncio
 import json
+import re
 import time
 from pathlib import Path
 
@@ -280,6 +281,22 @@ def test_runtime_metrics(app):
     assert "devices" in payload
     assert payload["max_concurrent"] >= 1
     assert isinstance(payload["jobs_by_status"], dict)
+
+
+def test_prometheus_metrics_endpoint(app):
+    """/metrics serves Prometheus text format 0.0.4 with runner gauges
+    and per-status job counts (observability beyond the reference)."""
+    app.jobs.create("m1", status="completed")
+    app.jobs.create("m2", status="failed")
+    resp, _ = asyncio.run(call(app, "GET", "/metrics"))
+    assert resp.status_code == 200
+    assert resp.media_type.startswith("text/plain")
+    text = resp.body.decode()
+    assert "# TYPE s2sr_jobs gauge" in text
+    assert 's2sr_jobs{status="completed"} 1' in text
+    assert 's2sr_jobs{status="failed"} 1' in text
+    assert re.search(r"^s2sr_runner_max_concurrent \d+$", text, re.M)
+    assert re.search(r"^s2sr_uptime_seconds \d", text, re.M)
 
 
 # --- security hardening (ADVICE r1) ------------------------------------
