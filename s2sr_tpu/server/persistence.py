@@ -29,13 +29,28 @@ class DurableJobStore(JobStore):
         super().__init__()
         self._journal_path = Path(journal_path)
         self._journal_lock = threading.Lock()
-        self._replay()
+        replayed = self._replay()
+        # Boot-time compaction: the journal appends one record per
+        # status update for the life of the deployment, so replay cost
+        # and disk grow without bound. After replay the in-memory store
+        # IS the merged state — rewrite one record per job, atomically
+        # (tmp + rename) so a crash mid-compaction can never lose the
+        # old journal.
+        if replayed > len(self._jobs):
+            tmp = self._journal_path.with_suffix(".jsonl.tmp")
+            with open(tmp, "w", encoding="utf-8") as f:
+                for job_id, job in self._jobs.items():
+                    f.write(json.dumps({"_job_id": job_id, **job}) + "\n")
+            tmp.replace(self._journal_path)
+            logger.info("compacted journal: %d records -> %d jobs",
+                        replayed, len(self._jobs))
         self._journal = open(self._journal_path, "a", encoding="utf-8")
 
-    def _replay(self) -> None:
+    def _replay(self) -> int:
+        """Merge journal records into the store; returns record count."""
         if not self._journal_path.exists():
             self._journal_path.parent.mkdir(parents=True, exist_ok=True)
-            return
+            return 0
         count = 0
         for line in self._journal_path.read_text(encoding="utf-8").splitlines():
             try:
@@ -54,6 +69,7 @@ class DurableJobStore(JobStore):
         if count:
             logger.info("replayed %d journal records (%d jobs)",
                         count, len(self._jobs))
+        return count
 
     def _append(self, job_id: str, fields: dict) -> None:
         record = {"_job_id": job_id}

@@ -53,3 +53,34 @@ def test_durable_job_store_replay(tmp_path):
     assert "restart" in job_a["message"]
     assert job_b["status"] == "completed"
     assert job_b["result"] == {"ok": True}
+
+
+def test_durable_job_store_compacts_on_boot(tmp_path):
+    """The journal appends one record per update forever; boot must
+    compact it to one merged record per job (atomically) — including
+    the failed-on-restart marking — and keep journaling afterwards."""
+    journal = tmp_path / "jobs.jsonl"
+    store = DurableJobStore(journal)
+    for i in range(5):
+        store.create(f"job_{i}", status="queued", message="q")
+        store.update(f"job_{i}", status="processing", message="working")
+        if i % 2 == 0:
+            store.update(f"job_{i}", status="completed", message="done")
+    lines_before = len(journal.read_text().splitlines())
+    assert lines_before == 13          # 5 creates + 8 updates
+
+    store2 = DurableJobStore(journal)
+    lines_after = len(journal.read_text().splitlines())
+    assert lines_after == 5            # one merged record per job
+    assert store2.get("job_0")["status"] == "completed"
+    assert store2.get("job_1")["status"] == "failed"      # interrupted
+    assert "restart" in store2.get("job_1")["message"]
+    # and no stale tmp file is left behind
+    assert not (tmp_path / "jobs.jsonl.tmp").exists()
+
+    # journaling continues after compaction
+    store2.create("job_new", status="queued", message="q")
+    assert len(journal.read_text().splitlines()) == 6
+    store3 = DurableJobStore(journal)
+    assert store3.get("job_new")["status"] == "failed"    # was queued
+    assert store3.get("job_0")["status"] == "completed"
