@@ -129,6 +129,13 @@ def main() -> None:
                                          make_train_step)
     from s2sr_tpu.utils.metrics import psnr, ssim
 
+    try:
+        from s2sr_tpu.utils.jax_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
+
     platform = jax.devices()[0].platform
     print(f"device: {jax.devices()[0]}")
 
