@@ -94,8 +94,14 @@ class VectorRequest(BaseModel):
 
 
 def _validate(model_cls, request: Request):
+    body = request.json() or {}
+    if not isinstance(body, dict):
+        # a JSON array/string/number parses fine but cannot populate a
+        # request model — 422 like FastAPI, not a TypeError-driven 500
+        raise HTTPException(
+            422, f"body must be a JSON object, got {type(body).__name__}")
     try:
-        return model_cls(**(request.json() or {}))
+        return model_cls(**body)
     except ValidationError as exc:
         raise HTTPException(422, str(exc))
 
@@ -160,14 +166,10 @@ def create_app(settings: Optional[Settings] = None,
                 _device_cache.append(devices)
         else:
             devices = _device_cache[0]
-        all_jobs = jobs.all()
-        by_status: dict = {}
-        for job in all_jobs.values():
-            by_status[job.get("status", "?")] = by_status.get(
-                job.get("status", "?"), 0) + 1
+        by_status = jobs.count_by_status()
         return {
             "devices": devices,
-            "jobs_total": len(all_jobs),
+            "jobs_total": sum(by_status.values()),
             "jobs_by_status": by_status,
             "runner_active": runner.active_count,
             "runner_queued": runner.queued_count,
@@ -184,10 +186,7 @@ def create_app(settings: Optional[Settings] = None,
         observability the reference lacks — SURVEY §5.5 'No metrics
         export, no Prometheus'). Gauges only, derived from the durable
         job store and runner; no extra bookkeeping on the hot path."""
-        by_status: dict = {}
-        for job in jobs.all().values():
-            s = str(job.get("status", "unknown"))
-            by_status[s] = by_status.get(s, 0) + 1
+        by_status = jobs.count_by_status()
         lines = [
             "# HELP s2sr_uptime_seconds Server uptime.",
             "# TYPE s2sr_uptime_seconds gauge",
@@ -210,8 +209,6 @@ def create_app(settings: Optional[Settings] = None,
             "# TYPE s2sr_runner_max_concurrent gauge",
             f"s2sr_runner_max_concurrent {runner.max_concurrent}",
         ]
-        from .http import Response
-
         return Response(body=("\n".join(lines) + "\n").encode(),
                         media_type="text/plain; version=0.0.4")
 
@@ -455,6 +452,10 @@ def create_app(settings: Optional[Settings] = None,
         job = jobs.get(job_id)
         if job is None:
             raise HTTPException(404, "Job not found")
+        if not job.get("output_dir"):
+            # pipeline/vector jobs (and restored journal records) carry
+            # no download dir — that's a 404, not a KeyError 500
+            raise HTTPException(404, "Job has no downloadable files")
         out_dir = Path(job["output_dir"]).resolve()
         file_path = (out_dir / filename).resolve()
         # containment check: the route pattern already refuses path

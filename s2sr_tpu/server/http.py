@@ -88,7 +88,10 @@ class Request:
             header_blob, _, content = part.partition(b"\r\n\r\n")
             content = content.removesuffix(b"\r\n")
             headers = header_blob.decode("utf-8", "replace")
-            name_m = re.search(r'name="([^"]+)"', headers)
+            # (?<![\w-]) keeps this from matching the 'name="..."' tail
+            # of 'filename="..."' — RFC 7578 does not fix parameter
+            # order, so filename may precede name
+            name_m = re.search(r'(?<![\w-])name="([^"]+)"', headers)
             if not name_m:
                 continue
             name = name_m.group(1)
@@ -111,6 +114,16 @@ class Response:
     status_code: int = 200
     media_type: str = "application/json"
     headers: Dict[str, str] = field(default_factory=dict)
+    # large-file serving: when set, the transport streams this file in
+    # chunks instead of materialising it in `body` (a full-res x4 SR
+    # GeoTIFF is hundreds of MB — read_bytes() per download would spike
+    # RSS by the file size and stall the single event loop)
+    stream_path: Optional[Path] = None
+    stream_length: int = 0
+
+    def content_length(self) -> int:
+        return self.stream_length if self.stream_path is not None \
+            else len(self.body)
 
 
 def json_response(content: Any, status_code: int = 200,
@@ -123,6 +136,9 @@ def json_response(content: Any, status_code: int = 200,
     )
 
 
+_STREAM_THRESHOLD = 8 * 1024 * 1024   # buffer small files, stream big
+
+
 def file_response(path: Path | str, media_type: Optional[str] = None,
                   headers: Optional[Dict[str, str]] = None) -> Response:
     path = Path(path)
@@ -130,6 +146,10 @@ def file_response(path: Path | str, media_type: Optional[str] = None,
         raise HTTPException(404, "File not found")
     if media_type is None:
         media_type = mimetypes.guess_type(str(path))[0] or "application/octet-stream"
+    size = path.stat().st_size
+    if size > _STREAM_THRESHOLD:
+        return Response(media_type=media_type, headers=headers or {},
+                        stream_path=path, stream_length=size)
     return Response(
         body=path.read_bytes(), media_type=media_type, headers=headers or {}
     )
@@ -168,6 +188,11 @@ class Route:
     pattern: re.Pattern
     handler: Callable[..., Awaitable]
     raw_path: str
+    # handler signature, computed once at registration — dispatch runs
+    # per request and inspect.signature() builds fresh Signature/
+    # Parameter objects each call (measurable on the 1-core box under
+    # the map client's tile bursts)
+    sig: inspect.Signature = None
 
 
 class App:
@@ -188,7 +213,8 @@ class App:
 
     def _register(self, method: str, path: str):
         def deco(fn):
-            self.routes.append(Route(method, _compile_path(path), fn, path))
+            self.routes.append(Route(method, _compile_path(path), fn, path,
+                                     sig=inspect.signature(fn)))
             return fn
         return deco
 
@@ -215,7 +241,7 @@ class App:
             background: Optional[BackgroundTasks] = None
             try:
                 kwargs: Dict[str, Any] = {}
-                sig = inspect.signature(route.handler)
+                sig = route.sig or inspect.signature(route.handler)
                 for name, param in sig.parameters.items():
                     # handlers live under `from __future__ import
                     # annotations`, so annotations arrive as STRINGS —
@@ -347,16 +373,33 @@ async def _handle_connection(app: App, reader: asyncio.StreamReader,
                 f"HTTP/1.1 {response.status_code} "
                 f"{_STATUS_TEXT.get(response.status_code, 'OK')}\r\n"
                 f"Content-Type: {ctype}\r\n"
-                f"Content-Length: {len(response.body)}\r\n"
+                f"Content-Length: {response.content_length()}\r\n"
             )
             for k, v in extra.items():
                 head += f"{k}: {v}\r\n"
             # RFC 9110: Connection tokens are case-insensitive
             keep_alive = headers.get("connection", "keep-alive").lower() != "close"
             head += f"Connection: {'keep-alive' if keep_alive else 'close'}\r\n\r\n"
-            writer.write(head.encode() +
-                         (b"" if method == "HEAD" else response.body))
-            await writer.drain()
+            if method == "HEAD" or response.stream_path is None:
+                writer.write(head.encode() +
+                             (b"" if method == "HEAD" else response.body))
+                await writer.drain()
+            else:
+                # chunked file streaming with backpressure: exactly the
+                # advertised byte count, even if the file grows mid-send
+                writer.write(head.encode())
+                remaining = response.stream_length
+                with open(response.stream_path, "rb") as f:
+                    while remaining > 0:
+                        chunk = f.read(min(remaining, 1 << 18))
+                        if not chunk:      # truncated under us: bail —
+                            break          # the client sees a short read
+                        remaining -= len(chunk)
+                        writer.write(chunk)
+                        await writer.drain()
+                if remaining > 0:
+                    break                  # close: never pad a short file
+                await writer.drain()
 
             if background is not None:
                 for fn, args, kwargs in background.tasks:

@@ -40,10 +40,16 @@ class JobStore:
             }
             return dict(self._jobs[job_id])
 
-    def update(self, job_id: str, **fields: Any) -> None:
+    def update(self, job_id: str, **fields: Any) -> bool:
+        """Apply to a KNOWN job; returns whether it applied (unknown ids
+        no-op — the durable subclass keys its journaling off this, so a
+        runner-internal pseudo-id can never be resurrected as a phantom
+        job after restart)."""
         with self._lock:
             if job_id in self._jobs:
                 self._jobs[job_id].update(fields)
+                return True
+            return False
 
     def update_if(self, job_id: str, expected_status: str,
                   **fields: Any) -> bool:
@@ -66,6 +72,16 @@ class JobStore:
         with self._lock:
             return {k: dict(v) for k, v in self._jobs.items()}
 
+    def count_by_status(self) -> Dict[str, int]:
+        """{status: count} in one lock-held pass (no per-job copies) —
+        shared by /api/runtime and /metrics."""
+        with self._lock:
+            out: Dict[str, int] = {}
+            for job in self._jobs.values():
+                s = str(job.get("status", "unknown"))
+                out[s] = out.get(s, 0) + 1
+            return out
+
     def with_prefix(self, prefix: str) -> Dict[str, dict]:
         with self._lock:
             return {k: dict(v) for k, v in self._jobs.items()
@@ -77,14 +93,18 @@ class JobStore:
 
 
 class _Item:
-    __slots__ = ("job_id", "fn", "key", "payload", "many_fn")
+    __slots__ = ("job_id", "fn", "key", "payload", "many_fn", "drop_fn")
 
-    def __init__(self, job_id, fn, key=None, payload=None, many_fn=None):
+    def __init__(self, job_id, fn, key=None, payload=None, many_fn=None,
+                 drop_fn=None):
         self.job_id = job_id
         self.fn = fn
         self.key = key
         self.payload = payload
         self.many_fn = many_fn
+        # called instead of the store update when the item is drained
+        # un-run at shutdown (run_sync uses it to unblock its waiter)
+        self.drop_fn = drop_fn
 
 
 class JobRunner:
@@ -174,7 +194,8 @@ class JobRunner:
     def submit(self, job_id: str, fn: Callable[[], None],
                coalesce_key: Optional[tuple] = None,
                payload: Any = None,
-               many_fn: Optional[Callable[[list], None]] = None) -> bool:
+               many_fn: Optional[Callable[[list], None]] = None,
+               drop_fn: Optional[Callable[[], None]] = None) -> bool:
         """Enqueue; returns True when a worker can start the job
         immediately (capacity observed atomically with the enqueue — the
         handler uses this for its processing/queued response instead of
@@ -185,7 +206,7 @@ class JobRunner:
             starts_now = (len(self._active) + len(self._deque)
                           < self.max_concurrent)
             self._deque.append(_Item(job_id, fn, coalesce_key, payload,
-                                     many_fn))
+                                     many_fn, drop_fn))
             self._unfinished += 1
             self._cond.notify()
             return starts_now
@@ -209,7 +230,16 @@ class JobRunner:
             finally:
                 done.set()
 
-        self.submit(f"_sync_{label}_{id(done)}", wrapper)
+        def dropped() -> None:
+            # shutdown drained us before a worker picked the item up:
+            # unblock the waiter immediately instead of letting it sit
+            # in done.wait() for the full timeout (which would stall
+            # process exit by up to that long)
+            box["error"] = RuntimeError(
+                f"server shut down before inline {label} work ran")
+            done.set()
+
+        self.submit(f"_sync_{label}_{id(done)}", wrapper, drop_fn=dropped)
         if not done.wait(timeout):
             raise TimeoutError(
                 f"device runner busy: {label} timed out after {timeout}s")
@@ -234,7 +264,14 @@ class JobRunner:
             self._unfinished -= len(drained)
             self._cond.notify_all()
         for it in drained:
-            self.store.update(it.job_id, status="failed", message=message)
+            if it.drop_fn is not None:
+                try:
+                    it.drop_fn()
+                except Exception:  # noqa: BLE001 — shutdown best-effort
+                    pass
+            else:
+                self.store.update(it.job_id, status="failed",
+                                  message=message)
         for w in self._workers:
             w.join(timeout=timeout)
 

@@ -88,9 +88,15 @@ class DurableJobStore(JobStore):
         self._append(job_id, out)
         return out
 
-    def update(self, job_id: str, **fields) -> None:
-        super().update(job_id, **fields)
-        self._append(job_id, fields)
+    def update(self, job_id: str, **fields) -> bool:
+        applied = super().update(job_id, **fields)
+        if applied:
+            # journal only updates that applied to a KNOWN job — the
+            # runner's internal ids (e.g. run_sync's "_sync_*" items)
+            # are never create()d, and journaling their failure records
+            # would resurrect them as phantom jobs on the next boot
+            self._append(job_id, fields)
+        return applied
 
     def update_if(self, job_id: str, expected_status: str, **fields) -> bool:
         applied = super().update_if(job_id, expected_status, **fields)

@@ -832,3 +832,118 @@ def test_coalesced_batch_isolates_bad_input(app):
     assert good0["status"] == "completed", good0["message"]
     assert good1["status"] == "completed", good1["message"]
     assert bad["status"] == "failed"
+
+
+def test_multipart_filename_before_name():
+    """RFC 7578 does not fix Content-Disposition parameter order: a part
+    with filename BEFORE name must still key on the name parameter (the
+    old regex matched the name=\"...\" tail of filename=\"...\")."""
+    boundary = "bord"
+    body = (f"--{boundary}\r\n"
+            'Content-Disposition: form-data; filename="photo.png"; '
+            'name="image"\r\n'
+            "Content-Type: image/png\r\n\r\n"
+            "PNGDATA\r\n"
+            f"--{boundary}--\r\n").encode()
+    req = make_request("POST", "/api/decode", body=body,
+                       headers={"content-type":
+                                f"multipart/form-data; boundary={boundary}"})
+    fields, files = req.multipart()
+    assert "image" in files and files["image"].filename == "photo.png"
+    assert files["image"].content == b"PNGDATA"
+
+
+def test_non_object_json_body_is_422(app):
+    """A JSON array/string body parses but cannot populate a request
+    model — must be a 422 validation error, never a TypeError 500."""
+    for raw in (b"[1,2]", b'"text"', b"5"):
+        resp, payload = asyncio.run(call(
+            app, "POST", "/api/sr", body=raw,
+            headers={"content-type": "application/json"}))
+        assert resp.status_code == 422, (raw, payload)
+        assert "JSON object" in payload["detail"]
+
+
+def test_download_route_on_job_without_output_dir(app):
+    """Pipeline/vector jobs carry no output_dir — download must 404,
+    not KeyError into a 500."""
+    app.jobs.create("pipeline_x", status="completed", message="done")
+    resp, payload = asyncio.run(call(
+        app, "GET", "/api/sr/download/pipeline_x/out.tif"))
+    assert resp.status_code == 404
+    assert "no downloadable files" in payload["detail"]
+
+
+def test_durable_store_never_journals_unknown_ids(tmp_path):
+    """Updates for ids that were never create()d (the runner's _sync_*
+    pseudo-jobs) must not reach the journal — they would come back as
+    phantom jobs on the next boot."""
+    from s2sr_tpu.server.persistence import DurableJobStore
+
+    journal = tmp_path / "j.jsonl"
+    store = DurableJobStore(journal)
+    store.create("real", status="queued")
+    assert store.update("_sync_decode_sr_1", status="failed") is False
+    assert store.update("real", status="completed") is True
+
+    store2 = DurableJobStore(journal)
+    assert store2.get("_sync_decode_sr_1") is None
+    assert set(store2.all()) == {"real"}
+    assert store2.get("real")["status"] == "completed"
+
+
+def test_runner_stop_unblocks_queued_run_sync():
+    """A queued run_sync item drained by stop() must release its waiter
+    immediately (RuntimeError), not leave it blocked for the timeout —
+    and must not write a phantom record into the store."""
+    import threading
+
+    from s2sr_tpu.server.jobs import JobRunner, JobStore
+
+    store = JobStore()
+    runner = JobRunner(store, max_concurrent=1)
+    release = threading.Event()
+    runner.submit("blocker", release.wait)          # occupies the worker
+
+    result: dict = {}
+
+    def caller():
+        try:
+            runner.run_sync(lambda: "never", timeout=30, label="t")
+        except Exception as exc:  # noqa: BLE001
+            result["exc"] = exc
+
+    t = threading.Thread(target=caller)
+    t.start()
+    # wait until the sync item is queued behind the blocker
+    deadline = time.time() + 5
+    while runner.queued_count < 1 and time.time() < deadline:
+        time.sleep(0.01)
+    assert runner.queued_count == 1
+    # stop() FIRST, while the worker is still inside the blocker — the
+    # sync item is then guaranteed to be drained un-run (releasing the
+    # blocker first would race the worker for the queued item)
+    runner.stop(timeout=0.5)
+    release.set()                   # now let the blocker thread exit
+    t.join(timeout=5)
+    assert not t.is_alive(), "run_sync caller still blocked after stop()"
+    assert isinstance(result.get("exc"), RuntimeError)
+    assert "shut down" in str(result["exc"])
+    assert all(not k.startswith("_sync") for k in store.all())
+
+
+def test_file_response_streams_large_files(tmp_path):
+    """Files past the threshold stream from disk (stream_path set, body
+    empty) with the true size advertised; small files buffer as before."""
+    from s2sr_tpu.server.http import _STREAM_THRESHOLD, file_response
+
+    small = tmp_path / "small.bin"
+    small.write_bytes(b"x" * 1024)
+    r = file_response(small)
+    assert r.stream_path is None and r.content_length() == 1024
+
+    big = tmp_path / "big.bin"
+    big.write_bytes(b"y" * (_STREAM_THRESHOLD + 1))
+    r = file_response(big)
+    assert r.stream_path == big and r.body == b""
+    assert r.content_length() == _STREAM_THRESHOLD + 1
