@@ -47,7 +47,11 @@ def get_local_images(source_dir: Path) -> list[dict]:
                     break
                 except Exception:
                     continue
-        acq_date = datetime.fromtimestamp(tif_file.stat().st_mtime)
+        # UTC-naive like every other date in the ranking (sidecar
+        # acquisition dates and the utcnow-based age cutoff) — naive
+        # LOCAL time would shift sidecar-less files by the host tz
+        acq_date = datetime.fromtimestamp(
+            tif_file.stat().st_mtime, tz=timezone.utc).replace(tzinfo=None)
         cloud = 100.0
         scene_id = tif_file.stem
         if metadata:
@@ -241,7 +245,10 @@ def smart_fetch(
 def load_aoi_geometry(aoi_path: Path | str) -> dict:
     aoi_data = read_json(aoi_path)
     if aoi_data.get("type") == "FeatureCollection":
-        return aoi_data["features"][0]["geometry"]
+        features = aoi_data.get("features") or []
+        if not features:
+            raise ValueError("No features found in AOI GeoJSON")
+        return features[0]["geometry"]
     if aoi_data.get("type") == "Feature":
         return aoi_data["geometry"]
     return aoi_data

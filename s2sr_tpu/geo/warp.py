@@ -143,6 +143,7 @@ def warp_to_mercator(
     resolution: Optional[float] = None,
     block_rows: int = 1024,
     grid_step: int = 64,
+    method: str = "bilinear",
 ) -> GeoTiff:
     """Reproject a raster to EPSG:3857 (the ``reproject_to_web_mercator``
     equivalent, ``server/app/tiling.py:100-135``). Adds an alpha band when
@@ -161,8 +162,12 @@ def warp_to_mercator(
     src_np = raster.data.astype(np.float32)
     if raster.nodata is not None:
         # weighted warp: nodata taps get weight 0 so they neither smear
-        # into valid pixels nor count as coverage
-        mask = (raster.data != raster.nodata).all(axis=-1, keepdims=True)
+        # into valid pixels nor count as coverage. A pixel is nodata
+        # only when ALL bands equal the value (gdalwarp's default
+        # UNIFIED_SRC_NODATA, and tiles/pyramid._rgba_source's rule) —
+        # ANY-band matching would punch holes through valid dark pixels
+        # like (0,128,77) on a nodata=0 collar
+        mask = ~(raster.data == raster.nodata).all(axis=-1, keepdims=True)
         src_np = np.concatenate(
             [src_np * mask, mask.astype(np.float32)], axis=-1)
     src = jnp.asarray(src_np)
@@ -176,7 +181,9 @@ def warp_to_mercator(
         gg = max(g, gw)
         ctrl = control_grid(block_transform, CRS(3857), raster.transform,
                             raster.crs, bh, out_w, grid=gg)
-        rgb, alpha = warp_bilinear_batch(src, jnp.asarray(ctrl)[None], bh, out_w)
+        warp_fn = (warp_nearest_batch if method in ("near", "nearest")
+                   else warp_bilinear_batch)
+        rgb, alpha = warp_fn(src, jnp.asarray(ctrl)[None], bh, out_w)
         rows_out.append(np.asarray(rgb[0]))
         alpha_out.append(np.asarray(alpha[0]))
     data = np.concatenate(rows_out, axis=0)

@@ -71,10 +71,12 @@ def reproject_to_web_mercator(
     output_path: Path | str,
     resample_method: str = "bilinear",
 ) -> Path:
-    """EPSG:3857 intermediate raster (``tiling.py:100-135`` equivalent)."""
+    """EPSG:3857 intermediate raster (``tiling.py:100-135`` equivalent).
+    ``resample_method``: "bilinear" (gdalwarp default here) or
+    "near"/"nearest" for categorical rasters."""
     logger.info("Reprojecting to EPSG:3857: %s", input_path)
     raster = read_geotiff(input_path)
-    warped = warp_to_mercator(raster)
+    warped = warp_to_mercator(raster, method=resample_method)
     write_geotiff(warped, output_path)
     logger.info("Reprojection complete: %s", output_path)
     return Path(output_path)

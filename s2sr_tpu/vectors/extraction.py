@@ -49,6 +49,9 @@ class ExtractionConfig:
     min_area_ha: float = 0.1
     max_area_ha: float = 500.0
     simplify_tolerance_m: float = 5.0
+    # v1 only WARNS above the threshold (reference ``:722-728``);
+    # downsample_factor is declared-but-unused there too (the config
+    # schema is the contract) — only v2 actually downsamples
     max_pixels_for_full_res: int = 50_000_000
     downsample_factor: int = 2
 
@@ -66,13 +69,19 @@ def load_aoi_geojson(aoi_path: Path | str) -> dict:
 
 
 def crop_raster_to_aoi(raster: GeoTiff, aoi_geom: dict) -> GeoTiff:
-    """rasterio.mask(crop=True) equivalent: bbox window + polygon mask."""
-    coords = aoi_geom.get("coordinates", [])
+    """rasterio.mask(crop=True) equivalent: bbox window + polygon mask.
+
+    MultiPolygon AOIs keep EVERY member polygon (rasterio masks the
+    full geometry) — the bbox spans all parts and the mask is their
+    union."""
     if aoi_geom.get("type") == "MultiPolygon":
-        coords = coords[0]
-    arr = np.asarray(coords[0], np.float64)
+        polygons = list(aoi_geom.get("coordinates", []))
+    else:
+        polygons = [aoi_geom.get("coordinates", [])]
+    exteriors = np.concatenate(
+        [np.asarray(poly[0], np.float64) for poly in polygons], axis=0)
     inv = ~raster.transform
-    col, row = inv * (arr[:, 0], arr[:, 1])
+    col, row = inv * (exteriors[:, 0], exteriors[:, 1])
     c0 = max(int(np.floor(np.asarray(col).min())), 0)
     c1 = min(int(np.ceil(np.asarray(col).max())), raster.width)
     r0 = max(int(np.floor(np.asarray(row).min())), 0)
@@ -81,7 +90,9 @@ def crop_raster_to_aoi(raster: GeoTiff, aoi_geom: dict) -> GeoTiff:
         raise ValueError("AOI does not intersect raster")
     window = raster.data[r0:r1, c0:c1]
     new_transform = raster.transform * Affine.translation(c0, r0)
-    mask = rasterize_polygon(coords, window.shape[:2], ~new_transform)
+    mask = np.zeros(window.shape[:2], bool)
+    for poly in polygons:
+        mask |= rasterize_polygon(poly, window.shape[:2], ~new_transform)
     out = np.where(mask[:, :, None], window, 0).astype(window.dtype)
     return GeoTiff(out, transform=new_transform, crs=raster.crs)
 
@@ -120,7 +131,13 @@ def _green_mask_device(rgb, hue_range, sat_min, val_min):
 
 
 def compute_green_mask_hsv(raster: GeoTiff, config: ExtractionConfig) -> np.ndarray:
-    rgb = raster.data[:, :, :3]
+    if raster.count < 3:
+        # the HSV fallback needs 3 channels; replicate gray like the
+        # pipelines' read path (pipelines/io.load_rgb) instead of
+        # crashing inside the jitted HSV with an opaque IndexError
+        rgb = np.repeat(raster.data[:, :, :1], 3, axis=2)
+    else:
+        rgb = raster.data[:, :, :3]
     if rgb.max() > 255:
         rgb = (rgb / rgb.max() * 255).astype(np.uint8)
     else:
@@ -260,10 +277,11 @@ def labels_to_polygons(
 
 
 def cleanup_polygons(
-    features: List[dict], config: ExtractionConfig, pixel_size_m: float = 10.0
+    features: List[dict], config: ExtractionConfig
 ) -> List[dict]:
     """Simplify + area filter with the reference's approximations
-    (deg→m ≈ 1e-5, area deg²·87000·111000 — ``:489-514``)."""
+    (deg→m ≈ 1e-5, area deg²·87000·111000 — ``:489-514``; the constants
+    are deliberately resolution-independent, like the reference's)."""
     cleaned: List[dict] = []
     min_area_m2 = config.min_area_ha * 10000
     max_area_m2 = config.max_area_ha * 10000
@@ -370,6 +388,15 @@ def extract_field_polygons(
 
     raster = read_geotiff(raster_path)
     pixel_size_m = abs(raster.transform.a) * 111000
+    logger.info("Approx pixel size: %.1fm", pixel_size_m)
+    total_pixels = raster.height * raster.width
+    if total_pixels > config.max_pixels_for_full_res:
+        # reference parity: v1 only WARNS on big rasters (``:722-728``)
+        # — only v2 downsamples (extraction_v2 does, at its own 8 MPix
+        # threshold)
+        logger.warning(
+            "Large raster (%s pixels). Consider downsampling for "
+            "faster processing.", f"{total_pixels:,}")
 
     try:
         working = crop_raster_to_aoi(raster, aoi_geom)
@@ -416,7 +443,7 @@ def extract_field_polygons(
     raw_features = labels_to_polygons(labels, working.transform, config)
     timings["polygonise"] = round(_time.perf_counter() - t0, 3)
     t0 = _time.perf_counter()
-    cleaned = cleanup_polygons(raw_features, config, pixel_size_m)
+    cleaned = cleanup_polygons(raw_features, config)
     timings["cleanup"] = round(_time.perf_counter() - t0, 3)
     logger.info("stage timings: %s", timings)
 

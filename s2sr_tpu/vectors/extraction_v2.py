@@ -198,8 +198,16 @@ def carve_roads_from_labels(
         return labels
     h, w = labels.shape
     inv = ~transform
-    # reference converts buffer_m / 111000 to degrees (:499)
-    buffer_px = max(int(round(road_buffer_m / 111000 / abs(transform.a))), 1)
+    # The reference differences polygons with the road LINE buffered by
+    # buffer_m — a corridor 2·buffer_m wide (buffer_deg = m/111000,
+    # ``:498-502``). The rasterized line below is already one pixel
+    # (~pixel_m) wide, so dilate by the REMAINING radius: at the
+    # default 5 m buffer on ~10 m pixels the corridor is the bare line
+    # (total ≈ 10 m, exactly the reference's 2×5 m), while a 20 m
+    # buffer on the same grid grows the line by 1-2 px per side.
+    corridor_px = max(
+        int(round(2 * road_buffer_m / 111000 / abs(transform.a))), 1)
+    grow_px = (corridor_px - 1) // 2
     road_mask = np.zeros((h, w), bool)
     for line in roads:
         col, row = inv * (line[:, 0], line[:, 1])
@@ -212,10 +220,10 @@ def carve_roads_from_labels(
             rs = np.linspace(row[i], row[i + 1], steps).astype(int)
             ok = (cs >= 0) & (cs < w) & (rs >= 0) & (rs < h)
             road_mask[rs[ok], cs[ok]] = True
-    if buffer_px > 1:
+    if grow_px >= 1:
         road_mask = np.asarray(
             _grow_road_mask(jnp.asarray(road_mask.astype(np.uint8)),
-                            int(buffer_px))) > 0
+                            int(grow_px))) > 0
     out = labels.copy()
     out[road_mask] = 0
     return out

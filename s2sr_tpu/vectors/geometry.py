@@ -221,7 +221,11 @@ class Polygon:
         return Polygon(apply(self.exterior), [apply(h) for h in self.holes])
 
     def contains_point(self, px: float, py: float) -> bool:
-        return _point_in_ring(self.exterior, px, py)
+        """Inside the exterior AND outside every hole (shapely
+        semantics — a point inside an interior ring is NOT contained)."""
+        if not _point_in_ring(self.exterior, px, py):
+            return False
+        return not any(_point_in_ring(h, px, py) for h in self.holes)
 
     def to_geojson(self) -> dict:
         def coords(ring):

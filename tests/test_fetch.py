@@ -168,3 +168,17 @@ class TestWarps:
         src = _rgba_source(rn)
         assert (src[:4, :, 3] == 0).all()
         assert (src[4:, :, 3] == 255).all()
+
+
+def test_load_aoi_geometry_empty_featurecollection(tmp_path):
+    """Empty FeatureCollection must raise the clear ValueError, not an
+    IndexError (matches vectors.extraction.load_aoi_geojson)."""
+    import pytest
+
+    from s2sr_tpu.fetch.smart_fetch import load_aoi_geometry
+    from s2sr_tpu.utils import write_json
+
+    p = tmp_path / "aoi.geojson"
+    write_json({"type": "FeatureCollection", "features": []}, p)
+    with pytest.raises(ValueError, match="No features"):
+        load_aoi_geometry(p)

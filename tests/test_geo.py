@@ -409,3 +409,41 @@ def test_http_range_file_server_ignores_range(monkeypatch):
     got = f.read(512)
     assert got == body[4096:4608]
     assert f.size() == len(body)
+
+
+def test_warp_nodata_unified_convention():
+    """A pixel is nodata only when ALL bands equal the value (gdalwarp
+    UNIFIED_SRC_NODATA) — valid dark pixels like (0,128,77) on a
+    nodata=0 raster must stay opaque through warp_to_mercator."""
+    from s2sr_tpu.geo.warp import warp_to_mercator
+
+    data = np.full((32, 32, 3), 150, np.uint8)
+    data[4:8, 4:8] = [0, 128, 77]       # valid pixel with one zero band
+    data[:2, :] = 0                     # true nodata collar (all zero)
+    t = Affine.from_origin(35.0, 32.0, 1e-4, 1e-4)
+    r = GeoTiff(data, transform=t, crs=CRS(4326), nodata=0.0)
+    out = warp_to_mercator(r)
+    assert out.count == 4
+    alpha = out.band(4)
+    h, w = alpha.shape
+    # the dark-but-valid region maps to roughly the same fractional
+    # position; sample its center
+    cy, cx = int(6 / 32 * h), int(6 / 32 * w)
+    assert alpha[cy, cx] > 0, "valid dark pixel punched transparent"
+    assert (out.data[cy, cx, 1] > 60), "green channel lost"
+    # the all-zero collar stays transparent
+    assert alpha[0, w // 2] == 0
+
+
+def test_warp_nearest_method_keeps_classes():
+    """method='near' must not invent class codes (categorical rasters)."""
+    from s2sr_tpu.geo.warp import warp_to_mercator
+
+    classes = np.array([0, 4, 5, 6], np.uint8)
+    rng = np.random.default_rng(3)
+    data = classes[rng.integers(0, 4, (40, 40))][..., None].repeat(3, axis=2)
+    t = Affine.from_origin(35.0, 32.0, 1e-4, 1e-4)
+    r = GeoTiff(data, transform=t, crs=CRS(4326))
+    out = warp_to_mercator(r, method="near")
+    vals = np.unique(out.data[..., 0])
+    assert set(vals.tolist()) <= set(classes.tolist()), vals

@@ -486,3 +486,73 @@ class TestWatershedQuality:
             inter = ((m_cv == lbl) & (got == lbl)).sum()
             union = ((m_cv == lbl) | (got == lbl)).sum()
             assert inter / union > 0.7, f"basin {lbl} IoU {inter/union:.2f}"
+
+
+def test_carve_roads_corridor_scales_with_buffer():
+    """Corridor width follows the reference's 2×buffer_m total
+    (``:498-502``): 5 m on ~10 m pixels = the bare 1-px line; 30 m
+    grows the line by (2·30/10 - 1)//2 = 2 px per side."""
+    from s2sr_tpu.geo import Affine
+    from s2sr_tpu.vectors.extraction_v2 import carve_roads_from_labels
+
+    labels = np.ones((21, 21), np.int32)
+    t = Affine.from_origin(35.0, 32.0, 9e-5, 9e-5)   # ~10 m pixels
+    # one horizontal road through the middle row
+    y_mid = 32.0 - 10.5 * 9e-5
+    road = np.array([[35.0, y_mid], [35.0 + 21 * 9e-5, y_mid]])
+
+    out5 = carve_roads_from_labels(labels, [road], t, road_buffer_m=5.0)
+    carved5 = (out5 == 0).sum(axis=0)
+    assert carved5.max() == 1          # bare line ≈ 10 m total corridor
+
+    out30 = carve_roads_from_labels(labels, [road], t, road_buffer_m=30.0)
+    carved30 = (out30 == 0).sum(axis=0)
+    assert carved30.max() == 5         # 1 + 2 px each side ≈ 50 m
+
+
+def test_crop_raster_to_aoi_multipolygon():
+    """MultiPolygon AOIs keep every member polygon (rasterio masks the
+    full geometry — the old code dropped all but the first)."""
+    from s2sr_tpu.geo import Affine, CRS, GeoTiff
+    from s2sr_tpu.vectors.extraction import crop_raster_to_aoi
+
+    data = np.full((40, 40, 3), 99, np.uint8)
+    t = Affine.from_origin(35.0, 32.4, 0.01, 0.01)
+    r = GeoTiff(data, transform=t, crs=CRS(4326))
+
+    def box(x0, y0, x1, y1):
+        return [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]]
+
+    aoi = {"type": "MultiPolygon", "coordinates": [
+        box(35.02, 32.30, 35.10, 32.38),
+        box(35.25, 32.05, 35.35, 32.15),
+    ]}
+    out = crop_raster_to_aoi(r, aoi)
+    # window spans BOTH polygons and both interiors survive the mask
+    assert (out.data[3, 3] == 99).all()            # inside polygon 1
+    assert (out.data[-9, -9] == 99).all()          # inside polygon 2
+    assert (out.data[18, 18] == 0).all()           # between them
+
+
+def test_green_mask_single_band_raster():
+    """A 1-band raster must not crash the HSV fallback — gray is
+    replicated to 3 channels like the pipelines' read path."""
+    from s2sr_tpu.geo import Affine, CRS, GeoTiff
+    from s2sr_tpu.vectors.extraction import (ExtractionConfig,
+                                             compute_vegetation_mask)
+
+    data = np.random.default_rng(0).integers(
+        0, 255, (16, 16, 1)).astype(np.uint8)
+    r = GeoTiff(data, transform=Affine.from_origin(35, 32, 1e-4, 1e-4),
+                crs=CRS(4326))
+    mask, method = compute_vegetation_mask(r, ExtractionConfig())
+    assert mask.shape == (16, 16) and method in ("hsv", "rgb_fallback")
+
+
+def test_polygon_contains_point_respects_holes():
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], float)
+    p = Polygon(outer, [hole])
+    assert p.contains_point(2.0, 2.0)          # in shell, outside hole
+    assert not p.contains_point(5.0, 5.0)      # inside the hole
+    assert not p.contains_point(11.0, 5.0)     # outside entirely
