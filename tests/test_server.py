@@ -947,3 +947,44 @@ def test_file_response_streams_large_files(tmp_path):
     r = file_response(big)
     assert r.stream_path == big and r.body == b""
     assert r.content_length() == _STREAM_THRESHOLD + 1
+
+
+def test_live_socket_streams_large_download(tmp_path):
+    """A >8 MB download travels the chunked streaming path over a real
+    socket: exact Content-Length, exact bytes, keep-alive preserved
+    (a second request on the same connection still works)."""
+    import hashlib
+    import http.client
+
+    from s2sr_tpu.server.http import _STREAM_THRESHOLD
+
+    # fresh app on its own data dir so the job store is clean
+    data_dir = tmp_path / "data"
+    (data_dir / "source").mkdir(parents=True)
+    settings = Settings(data_dir=str(data_dir), offline=True,
+                        weights_dir=str(tmp_path / "w"))
+    app2 = create_app(settings)
+
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    payload = np.random.default_rng(7).integers(
+        0, 256, _STREAM_THRESHOLD + 12345).astype(np.uint8).tobytes()
+    (out_dir / "big.tif").write_bytes(payload)
+    app2.jobs.create("wow_big", status="completed",
+                     output_dir=str(out_dir))
+
+    with live_server(app2, 18101):
+        conn = http.client.HTTPConnection("127.0.0.1", 18101, timeout=30)
+        conn.request("GET", "/api/sr/download/wow_big/big.tif")
+        r = conn.getresponse()
+        assert r.status == 200
+        assert int(r.headers["Content-Length"]) == len(payload)
+        body = r.read()
+        assert len(body) == len(payload)
+        assert hashlib.sha256(body).hexdigest() == \
+            hashlib.sha256(payload).hexdigest()
+        # connection stays usable after a streamed response
+        conn.request("GET", "/health")
+        r2 = conn.getresponse()
+        assert r2.status == 200 and b"healthy" in r2.read()
+        conn.close()
