@@ -36,6 +36,18 @@ MODELS: Dict[str, dict] = {
         "description": "Sharp edges (best for text/plates)",
     },
     # --- SwinIR (transformer SR; present-for-parity, ref swinir.py) ---
+    # the reference registry ships BOTH classical scales
+    # (``server/app/swinir.py:21-34``: swinir_x2 + swinir_x4)
+    "swinir_x2": {
+        "family": "swinir",
+        "url": "https://github.com/JingyunLiang/SwinIR/releases/download/v0.0/001_classicalSR_DIV2K_s48w8_SwinIR-M_x2.pth",
+        "scale": 2,
+        "embed_dim": 180,
+        "depths": (6, 6, 6, 6, 6, 6),
+        "num_heads": (6, 6, 6, 6, 6, 6),
+        "window_size": 8,
+        "description": "Transformer SR (classical x2)",
+    },
     "swinir_x4": {
         "family": "swinir",
         "url": "https://github.com/JingyunLiang/SwinIR/releases/download/v0.0/001_classicalSR_DF2K_s64w8_SwinIR-M_x4.pth",

@@ -67,6 +67,20 @@ def test_lapsrn_bilinear_upsample_identity():
     assert (np.diff(interior) >= -1e-5).all()
 
 
+def test_swinir_registry_both_scales():
+    """The reference registry ships BOTH classical SwinIR scales
+    (``server/app/swinir.py:21-34``: swinir_x2 + swinir_x4)."""
+    from s2sr_tpu.models.registry import get_model_config
+
+    for name, scale in (("swinir_x2", 2), ("swinir_x4", 4)):
+        cfg = get_model_config(name)
+        assert cfg["family"] == "swinir"
+        assert cfg["scale"] == scale
+        assert cfg["window_size"] == 8
+        assert cfg["embed_dim"] == 180
+        assert len(cfg["depths"]) == len(cfg["num_heads"]) == 6
+
+
 def test_swinir_engine_small(tmp_path):
     """SwinIR drives through the same SREngine surface."""
     from s2sr_tpu.models.engine import SREngine
