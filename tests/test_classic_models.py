@@ -81,6 +81,18 @@ def test_swinir_registry_both_scales():
         assert len(cfg["depths"]) == len(cfg["num_heads"]) == 6
 
 
+def test_swinir_x2_engine_constructs(tmp_path):
+    """The full-size swinir_x2 registry entry builds through SREngine
+    (random init; no forward — the 180-dim model is too slow for CPU CI)."""
+    from s2sr_tpu.models.engine import SREngine
+
+    eng = SREngine("swinir_x2", weights_dir=tmp_path, dtype="float32")
+    assert eng.scale == 2
+    assert eng.family == "swinir"
+    assert eng.tile_pad >= 16          # reference wrapper pad (swinir.py:704-748)
+    assert not eng.pretrained          # offline: random init, loud degraded mode
+
+
 def test_swinir_engine_small(tmp_path):
     """SwinIR drives through the same SREngine surface."""
     from s2sr_tpu.models.engine import SREngine
