@@ -1,0 +1,82 @@
+"""Per-checkpoint halo-exactness guard (VERDICT r3 weak #4).
+
+The pad-4 tiling default is byte-exact only for realistic weight
+scales; BENCH_NOTES' margin table showed adversarial unscaled weights
+flip bytes at pad 4.  The engine now probes the tiled-vs-whole float
+margin on first load of any pretrained checkpoint and escalates the
+pad when the margin isn't safely under 1 output LSB — mirroring the
+contract the reference's unguarded tile loop silently assumes
+(``server/app/cnn_super_resolution.py:236-280``).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, str(Path(__file__).parent))
+from test_rrdbnet import make_state_dict  # noqa: E402
+
+from s2sr_tpu.models.engine import SREngine, _HALO_MARGIN_MAX_LSB  # noqa: E402
+from s2sr_tpu.models.weights import (  # noqa: E402
+    convert_rrdbnet_state_dict,
+    save_params,
+)
+
+
+def _save_checkpoint(tmp_path, name, weight_mult=1.0, seed=0):
+    sd = make_state_dict(seed=seed)
+    if weight_mult != 1.0:
+        sd = {k: v * weight_mult for k, v in sd.items()}
+    params = convert_rrdbnet_state_dict(sd)
+    d = tmp_path / name
+    save_params(params, d / "realesrgan_x4.npz")
+    return d
+
+
+def test_realistic_checkpoint_keeps_configured_pad(tmp_path):
+    """Default behavior unchanged for realistic weight scales: the probe
+    margin sits far under the threshold and pad stays as configured."""
+    # 0.5× the test init: the tiny 2-block model's raw 0.05-randn init
+    # probes to ~0.28 LSB (legitimately near the flip boundary at this
+    # depth); trained/released-scale weights sit orders below it.
+    wdir = _save_checkpoint(tmp_path, "real", weight_mult=0.5)
+    eng = SREngine("realesrgan_x4", weights_dir=wdir, dtype="float32",
+                   tile_size=48, tile_pad=4, batch_size=4)
+    assert eng.tile_pad == 4
+    assert eng.halo_margin_lsb is not None
+    assert eng.halo_margin_lsb <= _HALO_MARGIN_MAX_LSB
+
+
+def test_adversarial_checkpoint_escalates_pad(tmp_path, rng):
+    """An unscaled (large-magnitude) checkpoint must auto-select a wider
+    pad, and the served tiled output must still match the exact
+    whole-image forward byte-for-byte at the chosen pad."""
+    wdir = _save_checkpoint(tmp_path, "adv", weight_mult=6.0)
+    eng = SREngine("realesrgan_x4", weights_dir=wdir, dtype="float32",
+                   tile_size=48, tile_pad=4, batch_size=4)
+    assert eng.tile_pad > 4, (
+        f"guard did not escalate: margin={eng.halo_margin_lsb}")
+    # byte-equality contract holds at the escalated pad
+    img = rng.integers(0, 256, (150, 130, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(eng.enhance_serving(img), eng.enhance(img))
+
+
+def test_random_init_skips_probe(tmp_path):
+    """Random init is the pinned-test path, not a user checkpoint — no
+    probe, pad unchanged."""
+    eng = SREngine("realesrgan_x4", weights_dir=tmp_path / "empty",
+                   dtype="float32", tile_size=48, tile_pad=4, batch_size=4)
+    assert eng.halo_margin_lsb is None
+    assert eng.tile_pad == 4
+
+
+def test_probe_optout(tmp_path):
+    wdir = _save_checkpoint(tmp_path, "optout", weight_mult=6.0)
+    eng = SREngine("realesrgan_x4", weights_dir=wdir, dtype="float32",
+                   tile_size=48, tile_pad=4, batch_size=4, pad_probe=False)
+    assert eng.halo_margin_lsb is None
+    assert eng.tile_pad == 4
