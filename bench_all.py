@@ -1,19 +1,51 @@
-"""Extended benchmark suite — the five BASELINE.json configs.
+"""Extended benchmark suite — the BASELINE.json config matrix.
 
 `bench.py` stays the driver's single-line headline; this reports the
 full matrix (JSON lines, one per config) for regression tracking.
 
-Run: python bench_all.py [--quick]
+Gating under relay variance (VERDICT r4 #5): engine-path configs
+(1, 2, 6) reproduce tightly and gate on a single amortised measurement;
+small-dispatch configs (3a warp, 5 vectors) swing 2× with relay
+congestion (BENCH_NOTES "relay variance honesty" table — 64-142
+tiles/s same night), so they gate on BEST-of-N — the compute is
+unchanged when the relay is noisy, so the best of 5 approaches the
+floor while a real kernel regression shifts every sample including the
+best. `--gate` compares against the recorded thresholds below and
+exits 1 on breach; `--inject-slowdown F` multiplies every measured
+time by F to prove the gate trips (a 1.5× injection must fail it; the
+thresholds carry enough margin that relay noise must not).
+
+Run: python bench_all.py [--quick] [--gate] [--inject-slowdown F]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+# Gate thresholds (real-TPU, non-quick shapes). Set from the recorded
+# r3/r4 numbers with ~2× margin over the tight engine-path spread and
+# above the relay-noise floor for the best-of-N configs:
+#   1: 0.26 s recorded          -> fail past 0.39 s   (1.5x)
+#   2: 3.48 s recorded          -> fail past 5.2 s    (1.5x)
+#   3a: best-of-5 120-142 t/s   -> fail under 85 t/s
+#   5: warm 0.43-1.0 s          -> fail past 2.5 s (best-of-3)
+#   6: 1.51 MPix/s recorded     -> fail under 1.15
+GATE = {
+    "1_single_tile_x4": ("seconds", "max", 0.39),
+    "2_wow_enhance_16tiles": ("seconds", "max", 5.2),
+    "3a_tile_warp_compute": ("tiles_s", "min", 85.0),
+    "5_vector_extraction_warm": ("seconds", "max", 2.5),
+    "6_int8_turbo": ("mpix_s", "min", 1.15),
+}
+
+RESULTS: list = []
+SLOWDOWN = 1.0
 
 
 def sync(x):
@@ -21,15 +53,42 @@ def sync(x):
 
 
 def emit(name, seconds, **extra):
-    print(json.dumps({"config": name, "seconds": round(seconds, 3), **extra}),
-          flush=True)
+    seconds = seconds * SLOWDOWN
+    # rates recompute under injection so the gate sees consistent rows
+    if "tiles_s" in extra and "tiles" in extra:
+        extra["tiles_s"] = round(extra["tiles"] / seconds, 1)
+    if "mpix_s" in extra and "_px" in extra:
+        extra["mpix_s"] = round(extra.pop("_px") / seconds / 1e6, 3)
+    extra.pop("_px", None)
+    row = {"config": name, "seconds": round(seconds, 3), **extra}
+    RESULTS.append(row)
+    print(json.dumps(row), flush=True)
+
+
+def best_of(fn, n):
+    """Best (min) wall time of n tries — the relay-noise estimator for
+    small-dispatch configs: congestion only ever ADDS time."""
+    return min(timed(fn) for _ in range(n))
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def main():
+    global SLOWDOWN
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
                         help="smaller shapes (CI smoke)")
+    parser.add_argument("--gate", action="store_true",
+                        help="exit 1 if any gated config breaches its "
+                             "recorded threshold (real-TPU full shapes)")
+    parser.add_argument("--inject-slowdown", type=float, default=1.0,
+                        help="multiply measured times (gate self-test)")
     args = parser.parse_args()
+    SLOWDOWN = args.inject_slowdown
 
     import jax.numpy as jnp
 
@@ -47,62 +106,59 @@ def main():
                       dtype="bfloat16")
     x = jnp.asarray(scene.data)
     sync(engine.enhance_device(x))                      # compile
-    t0 = time.perf_counter()
-    sync(engine.enhance_device(x))
-    dt = time.perf_counter() - t0
-    emit("1_single_tile_x4", dt,
-         mpix_s=round(size * size / dt / 1e6, 3))
+    dt = timed(lambda: sync(engine.enhance_device(x)))
+    emit("1_single_tile_x4", dt, _px=size * size, mpix_s=0)
 
     # config 2: WOW with enhance on a 16-tile batch (4x4 tile image)
     big = 4 * size
     scene_big = synthetic_scene(size=(big, big), seed=1)
     xb = jnp.asarray(scene_big.data)
     sync(enhance_for_crops(engine.enhance_device(xb)))  # compile
-    t0 = time.perf_counter()
-    sync(enhance_for_crops(engine.enhance_device(xb)))
-    dt = time.perf_counter() - t0
-    emit("2_wow_enhance_16tiles", dt,
-         mpix_s=round(big * big / dt / 1e6, 3))
+    dt = timed(lambda: sync(enhance_for_crops(engine.enhance_device(xb))))
+    emit("2_wow_enhance_16tiles", dt, _px=big * big, mpix_s=0)
 
     # config 3: original-tile generation z10–16 (warp + pyramid + encode)
     from s2sr_tpu.tiles.pyramid import (generate_xyz_tiles,
                                         warp_tiles_device_benchmark)
 
-    # 3a: device-compute only (single probe readback) — the stable,
-    # regression-gated number; the end-to-end figure below includes
-    # relay transfer + host PNG encode and varies by session
+    # 3a: device-compute only (single probe readback). Best-of-5: the
+    # per-dispatch device work is milliseconds, so relay round-trips
+    # dominate any single sample (2× swings recorded); the best of 5
+    # tracks the compute floor.
     zmax = 13 if args.quick else 16
     n_base = warp_tiles_device_benchmark(scene_big, zmax)   # compile
-    t0 = time.perf_counter()
-    warp_tiles_device_benchmark(scene_big, zmax)
-    dt = time.perf_counter() - t0
+    dt = best_of(lambda: warp_tiles_device_benchmark(scene_big, zmax),
+                 5 if not args.quick else 2)
     emit("3a_tile_warp_compute", dt, tiles=n_base,
          tiles_s=round(n_base / dt, 1))
 
-    t0 = time.perf_counter()
-    generate_xyz_tiles(scene_big, tmp / "tiles", min_zoom=10,
-                       max_zoom=13 if args.quick else 16)
-    dt = time.perf_counter() - t0
+    dt = timed(lambda: generate_xyz_tiles(
+        scene_big, tmp / "tiles", min_zoom=10,
+        max_zoom=13 if args.quick else 16))
     tiles = sum(1 for _ in (tmp / "tiles").glob("*/*/*.png"))
     emit("3_tile_pyramid", dt, tiles=tiles,
          tiles_s=round(tiles / dt, 1))
 
-    # config 4: full pipeline offline (fetch→tiles→SR→SR tiles)
+    # config 4: full pipeline offline (fetch→tiles→SR→SR tiles).
+    # NOT gated: dominated by first-compile/cold-cache behavior
+    # (78 s cold vs 9-13 s warm recorded).
     from s2sr_tpu.geo import write_geotiff
     from s2sr_tpu.pipelines.wow_sr import process_wow_sr
     from s2sr_tpu.tiles import process_raster_to_tiles
 
     src = tmp / "scene.tif"
     write_geotiff(scene, src)
-    t0 = time.perf_counter()
-    result = process_wow_sr(src, tmp / "wow", weights_dir="models")
-    process_raster_to_tiles(Path(result["outputs"]["sr_tif"]),
-                            tmp / "tiles_wow", min_zoom=12,
-                            max_zoom=14 if args.quick else 16)
-    dt = time.perf_counter() - t0
-    emit("4_full_pipeline", dt)
 
-    # config 5: vector intelligence over the AOI
+    def full_pipeline():
+        result = process_wow_sr(src, tmp / "wow", weights_dir="models")
+        process_raster_to_tiles(Path(result["outputs"]["sr_tif"]),
+                                tmp / "tiles_wow", min_zoom=12,
+                                max_zoom=14 if args.quick else 16)
+
+    emit("4_full_pipeline", timed(full_pipeline))
+
+    # config 5: vector intelligence over the AOI. Gate on the WARM
+    # number (best-of-3): the cold first call is compile-bound.
     from s2sr_tpu.utils import write_json
     from s2sr_tpu.vectors.extraction import (ExtractionConfig,
                                              extract_field_polygons)
@@ -111,30 +167,56 @@ def main():
     w, s, e, n = scene.bounds
     write_json({"type": "Polygon", "coordinates": [[
         [w, s], [e, s], [e, n], [w, n], [w, s]]]}, aoi)
-    t0 = time.perf_counter()
-    res = extract_field_polygons(
-        aoi, [src], tmp / "vectors",
-        ExtractionConfig(min_area_ha=0.01, max_area_ha=10000.0))
-    dt = time.perf_counter() - t0
-    emit("5_vector_extraction", dt, features=res["feature_count"])
+    cfg = ExtractionConfig(min_area_ha=0.01, max_area_ha=10000.0)
+    res = {}
+
+    def run_vec():
+        res.update(extract_field_polygons(aoi, [src], tmp / "vectors", cfg))
+
+    cold = timed(run_vec)
+    emit("5_vector_extraction", cold, features=res["feature_count"])
+    dt = best_of(run_vec, 3 if not args.quick else 1)
+    emit("5_vector_extraction_warm", dt, features=res["feature_count"])
 
     # config 6: int8 turbo serving (mixed-precision trunk — the opt-in
     # dtype; regression-tracks the +4.4% over bf16, BENCH_NOTES int8)
-    import numpy as np
-
     big = 512 if args.quick else 1024
     img = np.asarray(synthetic_scene(size=(big, big), seed=3).data)
     turbo = SREngine("realesrgan_x4", weights_dir="models",
                      dtype="int8", tile_pad=4)
     xb = jnp.asarray(img)
     sync(turbo.enhance_device(xb))                      # compile
-    t0 = time.perf_counter()
-    outs = [turbo.enhance_device(xb) for _ in range(3)]
-    for o in outs:
-        sync(o)
-    dt = (time.perf_counter() - t0) / 3
-    emit("6_int8_turbo", dt, mpix_s=round(big * big / dt / 1e6, 3))
+
+    def turbo3():
+        outs = [turbo.enhance_device(xb) for _ in range(3)]
+        for o in outs:
+            sync(o)
+
+    dt = timed(turbo3) / 3
+    emit("6_int8_turbo", dt, _px=big * big, mpix_s=0)
+
+    if args.gate:
+        if args.quick:
+            print(json.dumps({"gate": "skipped",
+                              "reason": "--quick shapes have no "
+                                        "recorded thresholds"}))
+            return 0
+        failures = []
+        for row in RESULTS:
+            rule = GATE.get(row["config"])
+            if rule is None:
+                continue
+            field, kind, limit = rule
+            val = row.get(field)
+            ok = (val <= limit) if kind == "max" else (val >= limit)
+            if not ok:
+                failures.append({"config": row["config"], field: val,
+                                 "limit": limit, "kind": kind})
+        print(json.dumps({"gate": "fail" if failures else "pass",
+                          "failures": failures}), flush=True)
+        return 1 if failures else 0
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

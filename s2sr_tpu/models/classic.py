@@ -115,23 +115,42 @@ class EDSR:
         params["tail"] = _conv_p(next(ks), 3, 3, nf, 3)
         return params
 
-    def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    def apply(self, params: Params, x: jnp.ndarray,
+              mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        """``mask`` (broadcastable to (N, H, W, 1), 0/1): exact-padding
+        mask for the bucketed serving path — every conv input outside
+        the true image rectangle is re-zeroed so border convs see
+        exactly their own SAME padding; ×0/×1 is exact in fp, so the
+        masked bucket output equals the standalone forward bit-for-bit
+        on the true region (the :func:`rrdbnet_apply` contract). NOTE
+        the input transform puts −mean outside the region — the mask
+        must apply *after* it."""
         dtype = self.dtype
         cast = lambda t: jax.tree.map(lambda a: a.astype(dtype), t)
-        x = (x * 255.0 - self.mean).astype(dtype)
-        feat = _conv(x, cast(params["head"]))
+        if mask is not None:
+            mask = mask.astype(dtype)
+        m = lambda t: t if mask is None else t * mask
+        x = m((x * 255.0 - self.mean).astype(dtype))
+        feat = m(_conv(x, cast(params["head"])))
 
         def block(h, bp):
             bp = cast(bp)
-            y = _conv(jax.nn.relu(_conv(h, bp["conv1"])), bp["conv2"])
-            return h + y, None
+            y = _conv(m(jax.nn.relu(_conv(h, bp["conv1"]))), bp["conv2"])
+            return m(h + y), None
 
         body, _ = jax.lax.scan(block, feat, params["body"])
-        feat = feat + _conv(body, cast(params["body_conv"]))
+        feat = m(feat + _conv(body, cast(params["body_conv"])))
         s = self.scale
         for up in params["upsample"]:
             factor = 3 if s == 3 else 2
-            feat = _depth_to_space(_conv(feat, cast(up)), factor)
+            # masking the channel-expanded conv output at LR resolution
+            # zeroes every subpixel of out-of-region LR pixels, so the
+            # post-shuffle tensor carries the nearest-upscaled mask
+            feat = _depth_to_space(m(_conv(feat, cast(up))), factor)
+            if mask is not None:
+                mask = jnp.repeat(jnp.repeat(mask, factor, axis=-3),
+                                  factor, axis=-2)
+                m = lambda t, mk=mask: t * mk   # bind: mask mutates
             s //= factor
         out = _conv(feat, cast(params["tail"]))
         return (out.astype(jnp.float32) + self.mean) / 255.0
@@ -159,11 +178,18 @@ class ESPCN:
             "conv3": _conv_p(k3, 3, 3, 32, c * self.scale**2),
         }
 
-    def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
-        x = x.astype(self.dtype)
-        h = jnp.tanh(_conv(x, params["conv1"]))
-        h = jnp.tanh(_conv(h, params["conv2"]))
-        out = _depth_to_space(_conv(h, params["conv3"]), self.scale)
+    def apply(self, params: Params, x: jnp.ndarray,
+              mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        """``mask``: exact-padding mask, see :meth:`EDSR.apply`
+        (tanh(0)=0, so re-zeroing after each activation preserves the
+        standalone forward's SAME-padding semantics exactly)."""
+        if mask is not None:
+            mask = mask.astype(self.dtype)
+        m = lambda t: t if mask is None else t * mask
+        x = m(x.astype(self.dtype))
+        h = m(jnp.tanh(_conv(x, params["conv1"])))
+        h = m(jnp.tanh(_conv(h, params["conv2"])))
+        out = _depth_to_space(m(_conv(h, params["conv3"])), self.scale)
         return out.astype(jnp.float32)
 
 
@@ -226,17 +252,30 @@ class LapSRN:
             params["levels"].append(level)
         return params
 
-    def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
-        x = x.astype(self.dtype)
-        feat = jax.nn.leaky_relu(_conv(x, params["head"]), 0.2)
+    def apply(self, params: Params, x: jnp.ndarray,
+              mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        """``mask``: exact-padding mask, see :meth:`EDSR.apply`. The
+        stride-2 transposed convs spread border values *into* the pad
+        region, so the mask is re-applied after each one at the doubled
+        resolution (in-region outputs only read in-region-or-zero
+        inputs, which matches the standalone forward's adjoint-SAME
+        crop exactly)."""
+        if mask is not None:
+            mask = mask.astype(self.dtype)
+        m = lambda t: t if mask is None else t * mask
+        x = m(x.astype(self.dtype))
+        feat = m(jax.nn.leaky_relu(_conv(x, params["head"]), 0.2))
         img = x
         for level in params["levels"]:
             h = feat
             for embed in level["embed"]:
-                h = jax.nn.leaky_relu(_conv(h, embed), 0.2)
-            feat = _transposed_conv_x2(h, level["up_feat"])
+                h = m(jax.nn.leaky_relu(_conv(h, embed), 0.2))
+            if mask is not None:
+                mask = jnp.repeat(jnp.repeat(mask, 2, axis=-3), 2, axis=-2)
+                m = lambda t, mk=mask: t * mk   # bind: mask mutates
+            feat = m(_transposed_conv_x2(h, level["up_feat"]))
             residual = _conv(feat, level["res"])
-            img = _transposed_conv_x2(img, level["up_img"]) + residual
+            img = m(_transposed_conv_x2(img, level["up_img"]) + residual)
         return img.astype(jnp.float32)
 
 

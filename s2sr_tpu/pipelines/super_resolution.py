@@ -116,6 +116,30 @@ def _jitted_apply(instance):
     return fn
 
 
+def _bucketed_forward(instance, params, arr: np.ndarray) -> np.ndarray:
+    """(H, W, C) float → (sH, sW, C) via the 64-multiple shape bucket.
+
+    The warm-serving story the RRDBNet engine already has (VERDICT r4
+    #4): pad to the next 64-multiple bucket + exact-padding mask (the
+    model re-zeroes every conv input outside the true rectangle — see
+    ``EDSR.apply``), so any upload size reuses one executable per
+    bucket instead of compiling per shape, and the result equals the
+    per-shape forward bit-for-bit on the true region. On-grid inputs
+    skip the mask multiplies entirely."""
+    h, w, _ = arr.shape
+    s = instance.scale
+    hb, wb = -(-h // 64) * 64, -(-w // 64) * 64
+    fn = _jitted_apply(instance)
+    if hb == h and wb == w:
+        return np.asarray(fn(params, jnp.asarray(arr)[None])[0])
+    xp = np.zeros((hb, wb, arr.shape[-1]), arr.dtype)
+    xp[:h, :w] = arr
+    mask = np.zeros((hb, wb, 1), np.float32)
+    mask[:h, :w] = 1.0
+    out = fn(params, jnp.asarray(xp)[None], jnp.asarray(mask)[None])[0]
+    return np.asarray(out[:h * s, :w * s])
+
+
 def run_classic_sr(instance, params, img: np.ndarray) -> np.ndarray:
     """uint8 (H, W, 3) → uint8 (sH, sW, 3) through a classic model.
 
@@ -131,14 +155,11 @@ def run_classic_sr(instance, params, img: np.ndarray) -> np.ndarray:
     x01 = img.astype(np.float32) / 255.0
     if getattr(instance, "num_ch", 3) == 1:
         ycc = rgb_to_ycrcb_f32(x01)
-        y_hr = _jitted_apply(instance)(
-            params, jnp.asarray(ycc[..., :1])[None])[0]
+        y_hr = _bucketed_forward(instance, params, ycc[..., :1])
         chroma = upscale_cubic(ycc[..., 1:], scale)
-        out = ycrcb_to_rgb_f32(
-            np.concatenate([np.asarray(y_hr), chroma], axis=-1))
+        out = ycrcb_to_rgb_f32(np.concatenate([y_hr, chroma], axis=-1))
     else:
-        out = np.asarray(
-            _jitted_apply(instance)(params, jnp.asarray(x01)[None])[0])
+        out = _bucketed_forward(instance, params, x01)
     return np.asarray(
         jnp.clip(jnp.round(jnp.asarray(out) * 255.0), 0, 255)
         .astype(jnp.uint8))

@@ -254,7 +254,14 @@ def create_app(settings: Optional[Settings] = None,
         from ..models.engine import loaded_engines
 
         result["models"] = {
-            e.model_name: {"pretrained": e.pretrained, "scale": e.scale}
+            e.model_name: {
+                "pretrained": e.pretrained, "scale": e.scale,
+                # halo-exactness guard outcome (engine.probe_halo_margin):
+                # the effective pad and the measured tiled-vs-whole float
+                # margin in output LSBs (null = probe not applicable)
+                "tile_pad": e.tile_pad,
+                "halo_margin_lsb": getattr(e, "halo_margin_lsb", None),
+            }
             for e in loaded_engines()
         }
         return result

@@ -97,6 +97,37 @@ def bench_engine(args) -> None:
         }), flush=True)
 
 
+def bench_ceiling(args) -> None:
+    """Walk the exact whole-image forward up in size until it stops
+    fitting: sets the SWINIR_EXACT_AREA engage default from measurement
+    instead of the inherited CPU rule (engine.py docstring)."""
+    from s2sr_tpu.models.engine import SREngine
+
+    rng = np.random.default_rng(0)
+    for size in (int(s) for s in args.sizes.split(",")):
+        try:
+            eng = SREngine("swinir_x4", weights_dir="models",
+                           dtype="bfloat16", exact_area=size * size)
+            img = jnp.asarray(
+                rng.integers(0, 256, (size, size, 3), np.uint8))
+            out = eng.enhance_device(img)
+            _ = np.asarray(out[:1, :1])
+            t0 = time.perf_counter()
+            outs = [eng.enhance_device(img) for _ in range(args.runs)]
+            for o in outs:
+                _ = np.asarray(o[:1, :1])
+            dt = (time.perf_counter() - t0) / args.runs
+            print(json.dumps({
+                "case": f"exact_{size}", "s_per_image": round(dt, 3),
+                "mpix_s": round(size * size / dt / 1e6, 3),
+            }), flush=True)
+        except Exception as e:  # OOM / compile failure ends the walk
+            print(json.dumps({"case": f"exact_{size}",
+                              "error": type(e).__name__,
+                              "detail": str(e)[:200]}), flush=True)
+            break
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
@@ -110,8 +141,17 @@ def main() -> None:
                     help="bench the PRODUCTION path (SREngine.enhance_"
                          "device) instead of a raw window batch: whole-"
                          "image ≤512², halo-tiled (t256/p16/b16) above")
+    ap.add_argument("--ceiling", action="store_true",
+                    help="probe the EXACT whole-image path ceiling "
+                         "(VERDICT r4 #3): force exact_area=size² per "
+                         "size and walk up until HBM OOM / compile "
+                         "failure; reports MPix/s per size")
+    ap.add_argument("--sizes", default="512,640,768,896,1024,1280,1536")
     args = ap.parse_args()
 
+    if args.ceiling:
+        bench_ceiling(args)
+        return
     if args.engine:
         bench_engine(args)
         return

@@ -144,3 +144,117 @@ def test_swinir_engine_loads_trained_npz(tmp_path):
         assert not eng_rand.pretrained
     finally:
         MODELS.pop("swinir_tiny", None)
+
+
+# --- masked-bucket exactness + warm serving (VERDICT r4 #4) -----------------
+
+def _mask_case(model, params, h, w, c, atol=0.0):
+    """Masked bucketed forward == standalone per-shape forward on the
+    true region (the rrdbnet masked-bucket contract, now for the
+    classic families)."""
+    rng = np.random.default_rng(7)
+    x = rng.random((h, w, c)).astype(np.float32)
+    s = model.scale
+    want = np.asarray(model.apply(params, jnp.asarray(x)[None])[0])
+    hb, wb = -(-h // 32) * 32, -(-w // 32) * 32
+    xp = np.zeros((hb, wb, c), np.float32)
+    xp[:h, :w] = x
+    mask = np.zeros((hb, wb, 1), np.float32)
+    mask[:h, :w] = 1.0
+    got = np.asarray(model.apply(
+        params, jnp.asarray(xp)[None], jnp.asarray(mask)[None])[0])
+    np.testing.assert_allclose(got[:h * s, :w * s], want, atol=atol)
+
+
+def test_edsr_masked_bucket_exact():
+    model = EDSR(scale=4, num_feat=8, num_blocks=2, dtype=jnp.float32)
+    _mask_case(model, model.init(jax.random.PRNGKey(0)), 21, 27, 3)
+
+
+def test_edsr_x3_masked_bucket_exact():
+    model = EDSR(scale=3, num_feat=8, num_blocks=2, dtype=jnp.float32)
+    _mask_case(model, model.init(jax.random.PRNGKey(1)), 30, 18, 3)
+
+
+def test_espcn_masked_bucket_exact():
+    model = ESPCN(scale=4, num_ch=1)
+    _mask_case(model, model.init(jax.random.PRNGKey(0)), 19, 25, 1)
+
+
+def test_lapsrn_masked_bucket_exact():
+    model = LapSRN(scale=4, num_feat=8, depth_per_level=2, num_ch=1)
+    _mask_case(model, model.init(jax.random.PRNGKey(0)), 22, 17, 1)
+
+
+def test_classic_warm_serving_bucket_reuse(tmp_path, monkeypatch):
+    """Two upload sizes in the same 64-bucket reuse ONE executable (the
+    engine path's warm-shape story, now for the classic pipeline)."""
+    from s2sr_tpu.config import settings as settings_mod
+    from s2sr_tpu.pipelines import super_resolution as sr_mod
+
+    cfg = settings_mod.Settings(weights_dir=str(tmp_path / "w"))
+    monkeypatch.setattr(sr_mod, "get_settings", lambda: cfg, raising=False)
+    monkeypatch.setattr(settings_mod, "get_settings", lambda: cfg)
+
+    from s2sr_tpu.models.classic import ESPCN
+    inst = ESPCN(scale=2, num_ch=3)
+    params = inst.init(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(3)
+    a = (rng.random((50, 40, 3)) * 255).astype(np.uint8)
+    out_a = sr_mod.run_classic_sr(inst, params, a)
+    assert out_a.shape == (100, 80, 3)
+    fn = inst._jit_apply
+    warm = fn._cache_size()
+    b = (rng.random((60, 33, 3)) * 255).astype(np.uint8)   # same 64-bucket
+    out_b = sr_mod.run_classic_sr(inst, params, b)
+    assert out_b.shape == (120, 66, 3)
+    assert fn._cache_size() == warm    # no fresh compile
+
+    # exactness through the public path: bucketed == direct per-shape
+    x01 = a.astype(np.float32) / 255.0
+    direct = np.asarray(inst.apply(params, jnp.asarray(x01)[None])[0])
+    direct_u8 = np.asarray(
+        jnp.clip(jnp.round(jnp.asarray(direct) * 255.0), 0, 255)
+        .astype(jnp.uint8))
+    np.testing.assert_array_equal(out_a, direct_u8)
+
+
+def test_swinir_engage_rule_exact_ceiling(tmp_path):
+    """VERDICT r4 #3: tiled SwinIR is approximate at any pad, so the
+    engage threshold is the exactness boundary — raised from the
+    CPU-era tile2*4 rule to the measured exact-path ceiling
+    (SWINIR_EXACT_AREA). exact_area overrides for probing."""
+    from s2sr_tpu.models.engine import SREngine, SWINIR_EXACT_AREA
+    from s2sr_tpu.models.registry import MODELS
+
+    MODELS["swinir_tiny"] = {
+        "family": "swinir", "scale": 2, "embed_dim": 12,
+        "depths": (2,), "num_heads": (2,), "window_size": 4,
+        "description": "test",
+    }
+    try:
+        img = np.random.default_rng(0).integers(
+            0, 255, (96, 96, 3)).astype(np.uint8)
+
+        eng = SREngine("swinir_tiny", weights_dir=tmp_path,
+                       dtype="float32", tile_size=16)
+        # default: engage raised to the measured ceiling, NOT tile2*4
+        assert eng.engage_area == SWINIR_EXACT_AREA
+        assert eng._serving_parts(img) is None      # 96x96 -> exact path
+        out = eng.enhance_serving(img)
+        assert out.shape == (192, 192, 3)
+
+        # forced-low ceiling: the same image takes the tiled path
+        eng2 = SREngine("swinir_tiny", weights_dir=tmp_path,
+                        dtype="float32", tile_size=16, exact_area=1024)
+        assert eng2.engage_area == 1024
+        parts = eng2._serving_parts(img)
+        assert parts is not None and parts[1]["kind"] == "tiled"
+
+        # rrdbnet keeps the reference rule
+        eng3 = SREngine("realesrgan_x4", weights_dir=tmp_path / "empty",
+                        tile_size=48, dtype="float32")
+        assert eng3.engage_area == 48 * 48 * 4
+    finally:
+        MODELS.pop("swinir_tiny", None)
