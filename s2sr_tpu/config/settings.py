@@ -70,6 +70,10 @@ class Settings(BaseModel):
     sr_tile_pad: int = 4
     sr_batch_size: int = 16      # tiles per device batch
     sr_dtype: str = "bfloat16"   # compute dtype for the SR model
+    # Exact-path engage ceiling in pixels (0 = family default: tile²·4
+    # for rrdbnet, SWINIR_EXACT_AREA for swinir — engine.py). Above
+    # this area images halo-tile; for SwinIR that path is approximate.
+    sr_exact_area: int = 0
     mesh_shape: str = ""         # e.g. "dp=4,sp=2"; empty = all devices on dp
     offline: bool = True         # disable all network fetches (no-egress envs)
     weights_dir: str = "models"  # converted-weight cache directory

@@ -558,6 +558,8 @@ def get_engine(model_name: str = "realesrgan_x4", **kwargs) -> SREngine:
     kwargs.setdefault("tile_pad", settings.sr_tile_pad)
     kwargs.setdefault("batch_size", settings.sr_batch_size)
     kwargs.setdefault("dtype", settings.sr_dtype)
+    if settings.sr_exact_area:
+        kwargs.setdefault("exact_area", settings.sr_exact_area)
     if "mesh" not in kwargs:
         spec = settings.mesh_shape
         if spec:
