@@ -177,6 +177,26 @@ def _shift_mask(h: int, w: int, window: int, shift: int) -> np.ndarray:
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+def _shift_mask_device(h: int, w: int, window: int, shift: int) -> jnp.ndarray:
+    """(nW, N, N) shift mask assembled ON DEVICE from its 4 distinct
+    window types (interior / last-col / last-row / corner).
+
+    Baking the full per-window mask as an HLO constant is O(nW·N²):
+    268 MB at 1024² — past the remote-compile relay's request-size
+    limit (HTTP 413, the measured exact-path killer in the r4 ceiling
+    probe). But the wrap-region structure inside a window depends only
+    on whether the window sits in the LAST row/column of the grid, so
+    a 2×2-window grid produces exactly the 4 distinct types in
+    row-major order; a (nW,) int index then gathers the full mask on
+    device. Bit-identical to :func:`_shift_mask` (test-pinned)."""
+    types = jnp.asarray(_shift_mask(2 * window, 2 * window, window, shift))
+    nh, nw_ = h // window, w // window
+    r = (np.arange(nh) == nh - 1).astype(np.int32) * 2
+    c = (np.arange(nw_) == nw_ - 1).astype(np.int32)
+    idx = jnp.asarray((r[:, None] + c[None, :]).reshape(-1))
+    return jnp.take(types, idx, axis=0)
+
+
 def _swin_block(x, p, h: int, w: int, num_heads: int, window: int,
                 shift: int, bias_idx, mask):
     b = x.shape[0]
@@ -361,7 +381,7 @@ class SwinIR:
         tokens = feat.reshape(b, h * ww, -1)
         tokens = _layer_norm(tokens, params["norm_embed"])
 
-        mask = jnp.asarray(_shift_mask(h, ww, w, w // 2))
+        mask = _shift_mask_device(h, ww, w, w // 2)
         rstb = (jax.checkpoint(_rstb, static_argnums=(2, 3, 4, 5, 6))
                 if self.remat else _rstb)
         body = tokens

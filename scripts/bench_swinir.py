@@ -90,8 +90,9 @@ def bench_engine(args) -> None:
         dt = (time.perf_counter() - t0) / args.runs
         print(json.dumps({
             "case": f"engine_{size}",
-            "path": "whole" if size * size <= 256 * 256 * 4 else
-                    "tiled t256/p16/b16",
+            "path": ("whole (exact)"
+                     if size * size <= engine.engage_area
+                     else "tiled t256/p16/b16 (approx)"),
             "s_per_image": round(dt, 3),
             "mpix_s": round(size * size / dt / 1e6, 3),
         }), flush=True)

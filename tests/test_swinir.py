@@ -205,3 +205,17 @@ def test_swinir_init_runs(model):
     out = model.apply(params, x)
     assert out.shape == (1, 16, 16, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_shift_mask_device_matches_full():
+    """The 4-type device-assembled mask must be bit-identical to the
+    full numpy construction for every grid shape class (interior-only,
+    single row/col, big grids) — it replaces a 268 MB HLO constant at
+    1024² that blew the remote-compile relay's size limit (r4)."""
+    from s2sr_tpu.models.swinir import _shift_mask, _shift_mask_device
+
+    for h, w, win in [(16, 16, 8), (8, 8, 8), (8, 24, 8), (40, 16, 8),
+                      (64, 64, 8), (12, 12, 4), (4, 20, 4)]:
+        full = _shift_mask(h, w, win, win // 2)
+        dev = np.asarray(_shift_mask_device(h, w, win, win // 2))
+        np.testing.assert_array_equal(dev, full, err_msg=f"{h}x{w} w{win}")
