@@ -47,11 +47,15 @@ _HALO_PAD_LADDER = (6, 8, 10)
 # approximate at ANY pad (window attention propagates globally), so the
 # engage threshold decides which sizes get exact output. The reference
 # inherited the CPU-era rule (tile²·4 = 512²); on a v5e the exact
-# whole-image forward fits and runs well past that — measured ceiling
-# in BENCH_NOTES r4 ("SwinIR exact-path ceiling" table). Sizes above
-# this area fall back to tiled (approximate-by-construction, like the
-# reference wrapper `server/app/swinir.py:704-748`).
-SWINIR_EXACT_AREA = 1024 * 1024
+# whole-image forward runs to 1280² at 0.395-0.44 MPix/s (measured
+# walk, BENCH_NOTES r4 "SwinIR exact-path ceiling": 1536² fails the
+# remote compile after the r4 device-mask fix removed the 1024² HTTP
+# 413). Exactness costs ~9% at 1024² vs the approximate tiled path
+# (0.408 vs 0.446) — exact wins by default, `sr_exact_area` lowers it
+# for speed. Sizes above fall back to tiled (approximate-by-
+# construction, like the reference wrapper `server/app/swinir.py:
+# 704-748`).
+SWINIR_EXACT_AREA = 1280 * 1280
 
 
 def probe_halo_margin(params, scale, dtype, pad, *, probe_tile=32,
