@@ -49,21 +49,42 @@ def main() -> None:
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, (args.size, args.size, 3)).astype(np.uint8)
 
+    import jax.numpy as jnp
+
     for name in args.models.split(","):
         family, scale = name.rsplit("_x", 1)
         try:
             instance, params = create_sr_model(family, int(scale))
-            run_classic_sr(instance, params, img)       # compile (warm)
+            row = {"model": name,
+                   "luma_path": getattr(instance, "num_ch", 3) == 1}
+
+            # (a) device-resident compute rate: queue runs, sync one
+            # probe element each — excludes the host transfer of the
+            # (s·size)² output, which rides the relay here and can be
+            # orders slower than compute when the tunnel is congested
+            x = jnp.asarray(img.astype(np.float32) / 255.0)[None]
+            fn = jax.jit(instance.apply)
+            out = fn(params, x)
+            _ = np.asarray(out.ravel()[:1])
+            t0 = time.perf_counter()
+            outs = [fn(params, x) for _ in range(args.runs)]
+            for o in outs:
+                _ = np.asarray(o.ravel()[:1])
+            dt_dev = (time.perf_counter() - t0) / args.runs
+            row["s_device"] = round(dt_dev, 4)
+            row["mpix_s_device"] = round(
+                args.size * args.size / dt_dev / 1e6, 2)
+
+            # (b) full production host path (run_classic_sr), incl.
+            # output transfer + uint8 convert
+            run_classic_sr(instance, params, img)       # warm
             t0 = time.perf_counter()
             for _ in range(args.runs):
-                out = run_classic_sr(instance, params, img)
+                run_classic_sr(instance, params, img)
             dt = (time.perf_counter() - t0) / args.runs
-            print(json.dumps({
-                "model": name,
-                "luma_path": getattr(instance, "num_ch", 3) == 1,
-                "s_per_image": round(dt, 3),
-                "mpix_s": round(args.size * args.size / dt / 1e6, 2),
-            }), flush=True)
+            row["s_per_image"] = round(dt, 3)
+            row["mpix_s"] = round(args.size * args.size / dt / 1e6, 2)
+            print(json.dumps(row), flush=True)
         except Exception as e:
             print(json.dumps({"model": name, "error": type(e).__name__,
                               "detail": str(e)[:160]}), flush=True)
