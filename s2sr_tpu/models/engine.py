@@ -37,9 +37,15 @@ logger = setup_logging("s2sr_tpu.engine")
 # margin is weight-distribution-dependent: adversarial unscaled weights
 # flip bytes at pad 4 (BENCH_NOTES halo-margin table). So on first load
 # of any *pretrained/converted* checkpoint the engine probes the actual
-# tiled-vs-whole float margin and escalates the pad until it is safely
-# under 1 output LSB. Thresh 0.25 LSB: 150× above the realistic-weights
-# margin, 4× under a byte flip.
+# tiled-vs-whole float margin and escalates the pad when it is not
+# safely under 1 output LSB. The 0.25 threshold is a regime separator,
+# not a proof bound: under trunc quantisation ANY nonzero margin can
+# flip a byte for a pixel whose value straddles an integer boundary —
+# what the threshold does is split the two measured regimes (converged/
+# realistic checkpoints probe ≤0.02; problematic ones ≥0.28, BENCH_
+# NOTES r4 trained-checkpoint table) and surface the measured margin in
+# halo_margin_lsb / /api/metadata so operators see the actual number.
+# Byte-identity of the DEFAULT path is separately pinned by tests.
 _HALO_MARGIN_MAX_LSB = 0.25
 _HALO_PAD_LADDER = (6, 8, 10)
 
@@ -54,7 +60,12 @@ _HALO_PAD_LADDER = (6, 8, 10)
 # (0.408 vs 0.446) — exact wins by default, `sr_exact_area` lowers it
 # for speed. Sizes above fall back to tiled (approximate-by-
 # construction, like the reference wrapper `server/app/swinir.py:
-# 704-748`).
+# 704-748`). TRADE-OFF: the exact path jit-compiles per input shape,
+# so each NEW upload shape in (512², 1280²] pays a cold whole-image
+# compile (minutes through a remote-compile relay; the persistent XLA
+# cache makes it once-ever per shape) — operators who prefer the warm
+# fixed-window executables at the price of approximate output should
+# set `sr_exact_area` to the old 512² rule (tile²·4 = 262144).
 SWINIR_EXACT_AREA = 1280 * 1280
 
 
@@ -77,13 +88,20 @@ def probe_halo_margin(params, scale, dtype, pad, *, probe_tile=32,
         synthetic_fields(size=(probe_size, probe_size), seed=7),
         jnp.float32) / 255.0
 
-    def model(b):
-        return rrdbnet_apply(params, b, scale=scale, dtype=dtype)
+    # ONE jitted executable for the whole probe: an eager run would
+    # dispatch the ~345-conv forward op-by-op through the per-dispatch
+    # RPC relay (~33 ms each) at every engine construction
+    @jax.jit
+    def _probe(p, x):
+        def model(b):
+            return rrdbnet_apply(p, b, scale=scale, dtype=dtype)
 
-    whole = model(img[None])[0]
-    tiled = tiled_apply(model, img, tile=probe_tile, pad=pad, scale=scale,
-                        batch_size=16)
-    return float(jnp.max(jnp.abs(whole - tiled)) * 255.0)
+        whole = model(x[None])[0]
+        tiled = tiled_apply(model, x, tile=probe_tile, pad=pad,
+                            scale=scale, batch_size=16)
+        return jnp.max(jnp.abs(whole - tiled)) * 255.0
+
+    return float(_probe(params, img))
 
 
 def _ensure_cache():
@@ -214,7 +232,12 @@ class SREngine:
         # margin sits ~150× under the threshold). Random init skips the
         # probe: it is the pinned-test path, not a user checkpoint.
         self.halo_margin_lsb: float | None = None
+        # int8 engines serve the quantized forward, which is not
+        # byte-exact regardless (−0.03 dB by design) — probing the
+        # float path would escalate the pad on a margin irrelevant to
+        # the served computation
         if (pad_probe and self.family == "rrdbnet" and self.pretrained
+                and not self.quantized
                 and self.tile_pad < max(_HALO_PAD_LADDER)):
             margin = probe_halo_margin(
                 self.params, self.scale, self.dtype, self.tile_pad)
@@ -443,11 +466,9 @@ class SREngine:
         if h * w <= self.engage_area:
             if self._masked_chunk_fn is None:
                 return None    # swinir: exact per-shape path
-            hb, wb = -(-h // 64) * 64, -(-w // 64) * 64
-            padded = np.zeros((hb, wb, 3), img.dtype)
-            padded[:h, :w] = img
-            mask = np.zeros((hb, wb, 1), np.float32)
-            mask[:h, :w] = 1.0
+            from ..parallel.tiling import bucket_pad
+
+            padded, mask = bucket_pad(img)
             return padded[None], {"kind": "small", "h": h, "w": w,
                                   "mask": mask[None]}
 

@@ -213,6 +213,26 @@ def tiled_apply(
                    keep_h, keep_w)
 
 
+def bucket_pad(img: np.ndarray, mult: int = 64):
+    """Zero-pad a host (H, W, C) array to the next ``mult``-multiple
+    bucket. Returns ``(padded, mask)`` with mask (hb, wb, 1) float32,
+    1 inside the true rectangle.
+
+    Single source of the exactness-critical bucket+mask construction
+    used by the rrdbnet masked serving path (`models/engine.py`) and
+    the classic-model warm pipeline (`pipelines/super_resolution.py`)
+    — the models re-zero every conv input outside the mask, making the
+    bucketed forward bit-identical to the per-shape forward.
+    """
+    h, w = img.shape[:2]
+    hb, wb = -(-h // mult) * mult, -(-w // mult) * mult
+    padded = np.zeros((hb, wb) + img.shape[2:], img.dtype)
+    padded[:h, :w] = img
+    mask = np.zeros((hb, wb, 1), np.float32)
+    mask[:h, :w] = 1.0
+    return padded, mask
+
+
 def sr_whole_image(
     model_fn: ModelFn,
     img: jnp.ndarray,

@@ -126,16 +126,14 @@ def _bucketed_forward(instance, params, arr: np.ndarray) -> np.ndarray:
     bucket instead of compiling per shape, and the result equals the
     per-shape forward bit-for-bit on the true region. On-grid inputs
     skip the mask multiplies entirely."""
+    from ..parallel.tiling import bucket_pad
+
     h, w, _ = arr.shape
     s = instance.scale
-    hb, wb = -(-h // 64) * 64, -(-w // 64) * 64
     fn = _jitted_apply(instance)
-    if hb == h and wb == w:
+    if h % 64 == 0 and w % 64 == 0:
         return np.asarray(fn(params, jnp.asarray(arr)[None])[0])
-    xp = np.zeros((hb, wb, arr.shape[-1]), arr.dtype)
-    xp[:h, :w] = arr
-    mask = np.zeros((hb, wb, 1), np.float32)
-    mask[:h, :w] = 1.0
+    xp, mask = bucket_pad(arr)
     out = fn(params, jnp.asarray(xp)[None], jnp.asarray(mask)[None])[0]
     return np.asarray(out[:h * s, :w * s])
 

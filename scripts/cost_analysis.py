@@ -40,13 +40,20 @@ def _cost(jitted, *args):
     return compiled, (ca or {})
 
 
+def _sync(out):
+    # one-ELEMENT readback (device-side slice first): transferring the
+    # full leaf would bill a multi-tens-of-MB relay transfer as compute
+    # (CLAUDE.md relay rule; r4 review finding)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = np.asarray(leaf.ravel()[:1])
+
+
 def _timed(jitted, args, runs):
-    out = jitted(*args)
-    _ = np.asarray(jax.device_get(jax.tree_util.tree_leaves(out)[0]))[:1]
+    _sync(jitted(*args))
     t0 = time.perf_counter()
     outs = [jitted(*args) for _ in range(runs)]
     for o in outs:
-        _ = np.asarray(jax.device_get(jax.tree_util.tree_leaves(o)[0]))[:1]
+        _sync(o)
     return (time.perf_counter() - t0) / runs
 
 

@@ -66,7 +66,8 @@ def render(text, font, size, noise=0.0, rot=0.0, seed=0):
 def evaluate(name, n, **kw):
     exact = 0
     char_acc = []
-    for i, text in enumerate(SERIALS[:n] * max(1, n // len(SERIALS))):
+    cases = [SERIALS[i % len(SERIALS)] for i in range(n)]
+    for i, text in enumerate(cases):
         img = render(text, seed=i, **kw)
         got = ocr_image(img)["text"].replace(" ", "")
         want = text.replace(" ", "")
