@@ -389,6 +389,7 @@ def test_get_engine_reads_settings_knobs(tmp_path, monkeypatch):
 
     cfg = settings_mod.Settings(sr_tile_size=96, sr_tile_pad=6,
                                 sr_batch_size=2, sr_dtype="float32",
+                                sr_exact_area=12345,
                                 weights_dir=str(weights_dir))
     monkeypatch.setattr(engine_mod, "get_settings", lambda: cfg,
                         raising=False)
@@ -399,5 +400,6 @@ def test_get_engine_reads_settings_knobs(tmp_path, monkeypatch):
                                     weights_dir=str(weights_dir))
         assert (eng.tile_size, eng.tile_pad, eng.batch_size) == (96, 6, 2)
         assert eng.dtype.__name__ == "float32"
+        assert eng.engage_area == 12345          # sr_exact_area (r4)
     finally:
         engine_mod._ENGINE_CACHE.clear()
