@@ -36,12 +36,20 @@ import numpy as np
 #   3a: best-of-5 120-142 t/s   -> fail under 85 t/s
 #   5: warm 0.43-1.0 s          -> fail past 2.5 s (best-of-3)
 #   6: 1.51 MPix/s recorded     -> fail under 1.15
+# r5 (VERDICT r4 #3 — every production family gated, not just the
+# RRDB engine paths):
+#   7: SwinIR exact 512² 0.43-0.44 recorded -> fail under 0.36
+#   8: EDSR x4 device 0.80 recorded         -> fail under 0.62
+#   9: 12-RDB amortised chain 57.2 TF/s     -> fail under 48
 GATE = {
     "1_single_tile_x4": ("seconds", "max", 0.38),
     "2_wow_enhance_16tiles": ("seconds", "max", 5.0),
     "3a_tile_warp_compute": ("tiles_s", "min", 85.0),
     "5_vector_extraction_warm": ("seconds", "max", 2.5),
     "6_int8_turbo": ("mpix_s", "min", 1.15),
+    "7_swinir_exact_512": ("mpix_s", "min", 0.36),
+    "8_edsr_x4_device": ("mpix_s", "min", 0.62),
+    "9_rdb_chain": ("tf_s", "min", 48.0),
 }
 
 RESULTS: list = []
@@ -59,7 +67,10 @@ def emit(name, seconds, **extra):
         extra["tiles_s"] = round(extra["tiles"] / seconds, 1)
     if "mpix_s" in extra and "_px" in extra:
         extra["mpix_s"] = round(extra.pop("_px") / seconds / 1e6, 3)
+    if "tf_s" in extra and "_flops" in extra:
+        extra["tf_s"] = round(extra.pop("_flops") / seconds / 1e12, 1)
     extra.pop("_px", None)
+    extra.pop("_flops", None)
     row = {"config": name, "seconds": round(seconds, 3), **extra}
     RESULTS.append(row)
     print(json.dumps(row), flush=True)
@@ -195,6 +206,74 @@ def main():
     dt = timed(turbo3) / 3
     emit("6_int8_turbo", dt, _px=big * big, mpix_s=0)
 
+    # config 7: SwinIR exact whole-image serving (the one transformer
+    # family; its r4 shift-mask/traffic reworks are exactly the kind of
+    # change that could regress it unguarded — VERDICT r4 weak #3).
+    # Amortised over 3 queued runs like the ceiling walk.
+    ssz = 256 if args.quick else 512
+    swin = SREngine("swinir_x4", weights_dir="models", dtype="bfloat16")
+    xs = jnp.asarray(np.asarray(synthetic_scene(size=(ssz, ssz),
+                                                seed=4).data))
+    sync(swin.enhance_device(xs))                       # compile
+
+    def swin3():
+        outs = [swin.enhance_device(xs) for _ in range(3)]
+        for o in outs:
+            sync(o)
+
+    dt = timed(swin3) / 3
+    emit("7_swinir_exact_512", dt, _px=ssz * ssz, mpix_s=0,
+         path="exact" if ssz * ssz <= swin.engage_area else "tiled")
+
+    # config 8: EDSR x4 device-resident rate (classic-family guard;
+    # same queue-runs-sync-probe method as scripts/bench_classic.py)
+    from s2sr_tpu.pipelines.super_resolution import create_sr_model
+
+    inst, cparams = create_sr_model("edsr", 4)
+    xe = jnp.asarray(np.asarray(synthetic_scene(size=(ssz, ssz),
+                                                seed=5).data,
+                                np.float32) / 255.0)[None]
+    import jax as _jax
+    efn = _jax.jit(inst.apply)
+    sync(efn(cparams, xe))                              # compile
+
+    def edsr3():
+        outs = [efn(cparams, xe) for _ in range(3)]
+        for o in outs:
+            sync(o)
+
+    dt = timed(edsr3) / 3
+    emit("8_edsr_x4_device", dt, _px=ssz * ssz, mpix_s=0)
+
+    # config 9: the amortised 12-RDB packed chain (the production RDB
+    # kernel's useful-TF/s floor — scripts/bench_kernels.py method:
+    # serially-dependent runs, one readback)
+    from s2sr_tpu.models.rrdbnet import RRDBNet, _rdb_packed
+
+    cb, ch, cw = (8, 144, 144) if args.quick else (16, 276, 276)
+    net = RRDBNet(num_feat=64, num_block=1, num_grow_ch=32)
+    rp = _jax.tree.map(lambda a: a[0],
+                       net.init(_jax.random.PRNGKey(0))["body"]["rdb1"])
+    FLOPS_PER_PX_RDB = 2 * 9 * (64 * 192 + 32 * (160 + 128 + 96 + 64))
+    R = 12
+    chain = _jax.jit(lambda v: _jax.lax.fori_loop(
+        0, R, lambda i, t: _rdb_packed(t, rp, jnp.bfloat16), v))
+    xc = jnp.asarray(np.random.default_rng(7).random((cb, ch, cw, 64)),
+                     jnp.bfloat16)
+    out = chain(xc)
+    sync(out)                                           # compile
+    runs = 3
+
+    def chain_runs():
+        o = out
+        for _ in range(runs):
+            o = chain(o)
+        sync(o)
+
+    dt = timed(chain_runs) / runs
+    emit("9_rdb_chain", dt, _flops=cb * ch * cw * FLOPS_PER_PX_RDB * R,
+         tf_s=0)
+
     if args.gate:
         if args.quick:
             print(json.dumps({"gate": "skipped",
@@ -218,6 +297,13 @@ def evaluate_gate(results):
             continue
         field, kind, limit = rule
         val = row.get(field)
+        if val is None:
+            # a gated row missing its gated field is itself a failure —
+            # never a TypeError-driven crash (ADVICE r4)
+            failures.append({"config": row["config"], field: None,
+                             "limit": limit, "kind": kind,
+                             "error": "gated field missing"})
+            continue
         ok = (val <= limit) if kind == "max" else (val >= limit)
         if not ok:
             failures.append({"config": row["config"], field: val,

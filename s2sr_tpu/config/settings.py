@@ -74,6 +74,11 @@ class Settings(BaseModel):
     # for rrdbnet, SWINIR_EXACT_AREA for swinir — engine.py). Above
     # this area images halo-tile; for SwinIR that path is approximate.
     sr_exact_area: int = 0
+    # Per-checkpoint halo-exactness probe at engine build (engine.py
+    # probe_halo_margin). Results are memoized per weight-file
+    # fingerprint so only the first construction ever pays the probe
+    # compiles; set false to skip it entirely (ADVICE r4).
+    sr_pad_probe: bool = True
     mesh_shape: str = ""         # e.g. "dp=4,sp=2"; empty = all devices on dp
     offline: bool = True         # disable all network fetches (no-egress envs)
     weights_dir: str = "models"  # converted-weight cache directory

@@ -175,23 +175,36 @@ def _scan_polarity(mask: np.ndarray):
     _, boxes = _components(mask)
     min_h = max(6, h // 100)
 
-    def keep(b):
+    def keep_tall(b):
         bh, bw = b[1] - b[0], b[3] - b[2]
-        if bh >= min_h:
-            aspect_ok = bw <= 3.0 * bh
-        else:
-            # wide-flat glyphs (dash/underscore) legitimately sit under
-            # the height floor — a 48px-font dash is ~4-6px tall;
-            # dropping it silently turned "SN-4821" into the two words
-            # "SN 4821" (scripts/ocr_eval.py found 8/10 serials hitting
-            # this). Noise specks are roundish, so demand a dash-like
-            # aspect (2-8× wider than tall) and real width instead of
-            # the tall-glyph 3× cap.
-            aspect_ok = 2 * bh <= bw <= 8 * bh and bw >= 6 and bh >= 2
-        return (aspect_ok and bw >= 2 and bh <= 0.9 * h
+        return (bh >= min_h and bw <= 3.0 * bh and bw >= 2
+                and bh <= 0.9 * h
                 and np.count_nonzero(mask[b[0]:b[1], b[2]:b[3]]) >= 8)
 
-    boxes = [b for b in boxes if keep(b)]
+    tall = [b for b in boxes if keep_tall(b)]
+
+    def keep_flat(b):
+        # wide-flat glyphs (dash/underscore) legitimately sit under the
+        # height floor — a 48px-font dash is ~4-6px tall; dropping it
+        # silently turned "SN-4821" into the two words "SN 4821"
+        # (scripts/ocr_eval.py found 8/10 serials hitting this). Noise
+        # specks are roundish, so demand a dash-like aspect (2-8× wider
+        # than tall); scan-line/underline FRAGMENTS share that aspect,
+        # so additionally require (ADVICE r4) the box's vertical center
+        # to sit inside some tall glyph's extent (dashes ride mid-line;
+        # underlines hang below the baseline) and near-solid ink (a
+        # printed dash is a filled bar, streak fragments are sparse).
+        bh, bw = b[1] - b[0], b[3] - b[2]
+        if not (bh < min_h and 2 * bh <= bw <= 8 * bh
+                and bw >= 6 and bh >= 2):
+            return False
+        cy = 0.5 * (b[0] + b[1])
+        if not any(t[0] <= cy <= t[1] for t in tall):
+            return False
+        ink = np.count_nonzero(mask[b[0]:b[1], b[2]:b[3]])
+        return ink >= 8 and ink >= 0.6 * bh * bw
+
+    boxes = tall + [b for b in boxes if keep_flat(b)]
     if not boxes:
         return [], 0.0
     atlas = _atlas()

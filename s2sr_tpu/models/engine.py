@@ -104,6 +104,67 @@ def probe_halo_margin(params, scale, dtype, pad, *, probe_tile=32,
     return float(_probe(params, img))
 
 
+# Probe results memoized per (weight-file fingerprint, pad, dtype,
+# probe geometry): the margin is a pure function of the checkpoint's
+# weights, so non-cached engine constructions (scripts, tests, ad-hoc
+# engines) must not each re-pay 1-4 relay compiles of the 23-block
+# model (ADVICE r4). In-process dict + a JSON sidecar next to the
+# persistent XLA cache for cross-process reuse.
+_PROBE_MEMO: dict = {}
+
+
+def _probe_store_path() -> Path:
+    import os
+
+    return Path(os.environ.get(
+        "S2SR_JAX_CACHE",
+        Path.home() / ".cache" / "s2sr_tpu" / "jax")).parent / \
+        "halo_probe.json"
+
+
+def weights_fingerprint(weights_dir, model_name: str) -> str | None:
+    """Identity of the loaded checkpoint = the converted .npz file
+    (resolve_params always converts .pth → .npz before loading):
+    path + size + mtime. None when no file backs the params."""
+    npz = Path(weights_dir) / f"{model_name}.npz"
+    try:
+        st = npz.stat()
+    except OSError:
+        return None
+    return f"{npz.resolve()}:{st.st_size}:{st.st_mtime_ns}"
+
+
+def _memoized_probe(fingerprint: str | None, params, scale, dtype,
+                    pad: int) -> float:
+    if fingerprint is None:
+        return probe_halo_margin(params, scale, dtype, pad)
+    key = f"{fingerprint}|pad={pad}|dtype={jnp.dtype(dtype).name}"
+    if key in _PROBE_MEMO:
+        return _PROBE_MEMO[key]
+    store = _probe_store_path()
+    disk: dict = {}
+    try:
+        import json
+
+        disk = json.loads(store.read_text())
+    except Exception:
+        disk = {}
+    if key in disk:
+        _PROBE_MEMO[key] = float(disk[key])
+        return _PROBE_MEMO[key]
+    margin = probe_halo_margin(params, scale, dtype, pad)
+    _PROBE_MEMO[key] = margin
+    try:
+        import json
+
+        disk[key] = margin
+        store.parent.mkdir(parents=True, exist_ok=True)
+        store.write_text(json.dumps(disk))
+    except Exception:  # the sidecar is an optimisation, never fatal
+        pass
+    return margin
+
+
 def _ensure_cache():
     from ..utils.jax_cache import enable_compilation_cache
 
@@ -239,8 +300,9 @@ class SREngine:
         if (pad_probe and self.family == "rrdbnet" and self.pretrained
                 and not self.quantized
                 and self.tile_pad < max(_HALO_PAD_LADDER)):
-            margin = probe_halo_margin(
-                self.params, self.scale, self.dtype, self.tile_pad)
+            fp = weights_fingerprint(weights_dir, model_name)
+            margin = _memoized_probe(
+                fp, self.params, self.scale, self.dtype, self.tile_pad)
             self.halo_margin_lsb = margin
             # NaN-safe: an exploding checkpoint probes to NaN, which must
             # count as "unsafe", not slip past a > comparison
@@ -248,8 +310,8 @@ class SREngine:
                 for pad_try in _HALO_PAD_LADDER:
                     if pad_try <= self.tile_pad:
                         continue
-                    margin = probe_halo_margin(
-                        self.params, self.scale, self.dtype, pad_try)
+                    margin = _memoized_probe(
+                        fp, self.params, self.scale, self.dtype, pad_try)
                     if (margin <= _HALO_MARGIN_MAX_LSB
                             or pad_try == _HALO_PAD_LADDER[-1]):
                         logger.warning(
@@ -583,6 +645,7 @@ def get_engine(model_name: str = "realesrgan_x4", **kwargs) -> SREngine:
     kwargs.setdefault("tile_pad", settings.sr_tile_pad)
     kwargs.setdefault("batch_size", settings.sr_batch_size)
     kwargs.setdefault("dtype", settings.sr_dtype)
+    kwargs.setdefault("pad_probe", settings.sr_pad_probe)
     if settings.sr_exact_area:
         kwargs.setdefault("exact_area", settings.sr_exact_area)
     if "mesh" not in kwargs:

@@ -69,3 +69,39 @@ def test_ungated_configs_ignored():
     ba = _load_bench_all()
     rows = [{"config": "4_full_pipeline", "seconds": 1e9}]
     assert ba.evaluate_gate(rows) == []
+
+
+GOOD_R5 = GOOD + [
+    {"config": "7_swinir_exact_512", "seconds": 0.6, "mpix_s": 0.435},
+    {"config": "8_edsr_x4_device", "seconds": 0.33, "mpix_s": 0.80},
+    {"config": "9_rdb_chain", "seconds": 0.72, "tf_s": 57.2},
+]
+
+
+def test_r5_families_gated():
+    """VERDICT r4 #3: SwinIR + classic + chain rows are gated too —
+    recorded numbers pass, 1.5x slowdown trips every one of them."""
+    ba = _load_bench_all()
+    assert ba.evaluate_gate(GOOD_R5) == []
+    slow = []
+    for r in GOOD_R5:
+        r = dict(r)
+        r["seconds"] *= 1.5
+        for f in ("tiles_s", "mpix_s", "tf_s"):
+            if f in r:
+                r[f] = r[f] / 1.5
+        slow.append(r)
+    tripped = {f["config"] for f in ba.evaluate_gate(slow)}
+    assert {"7_swinir_exact_512", "8_edsr_x4_device",
+            "9_rdb_chain"} <= tripped
+
+
+def test_missing_gated_field_fails_cleanly():
+    """ADVICE r4: a gated row without its gated field (or null) is a
+    reported failure, not a TypeError crash."""
+    ba = _load_bench_all()
+    rows = [{"config": "6_int8_turbo", "seconds": 0.7},
+            {"config": "9_rdb_chain", "seconds": 0.72, "tf_s": None}]
+    failures = ba.evaluate_gate(rows)
+    assert len(failures) == 2
+    assert all(f.get("error") == "gated field missing" for f in failures)

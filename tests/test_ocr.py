@@ -199,3 +199,24 @@ def test_serif_generalization():
         got = ocr_image(np.asarray(img))["text"].replace(" ", "")
         total += difflib.SequenceMatcher(None, got, text).ratio()
     assert total / len(cases) >= 0.85, total / len(cases)
+
+
+def test_underline_noise_not_matched_as_dash():
+    """ADVICE r4: the dash rescue admits wide-flat components under the
+    min-height floor — horizontal streaks outside the glyph band
+    (underlines, scan-line noise) must still be rejected: the rescue
+    requires the flat box's center inside a tall glyph's vertical
+    extent and near-solid ink."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    font = ImageFont.truetype(
+        "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf", 48)
+    img = Image.new("L", (400, 170), 255)
+    d = ImageDraw.Draw(img)
+    d.text((8, 40), "SN 4821 AX", fill=0, font=font)
+    # an underline below the baseline, broken into dash-sized fragments
+    for x0 in range(10, 360, 28):
+        d.rectangle([x0, 122, x0 + 18, 125], fill=0)
+    out = ocr_image(np.asarray(img))
+    assert "-" not in out["text"], out["text"]
+    assert out["text"].replace(" ", "") == "SN4821AX", out["text"]

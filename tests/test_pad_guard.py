@@ -107,3 +107,57 @@ def test_probe_optout(tmp_path):
                    tile_size=48, tile_pad=4, batch_size=4, pad_probe=False)
     assert eng.halo_margin_lsb is None
     assert eng.tile_pad == 4
+
+
+def test_probe_memoized_across_constructions(tmp_path, monkeypatch):
+    """ADVICE r4: only the FIRST construction over a given checkpoint
+    pays the probe compiles — a second ad-hoc SREngine over the same
+    weight file reuses the memoized margins (in-process and via the
+    JSON sidecar), including the escalation ladder's."""
+    import s2sr_tpu.models.engine as eng_mod
+
+    monkeypatch.setenv("S2SR_JAX_CACHE", str(tmp_path / "cache" / "jax"))
+    monkeypatch.setattr(eng_mod, "_PROBE_MEMO", {})
+    wdir = _save_checkpoint(tmp_path, "memo", weight_mult=1.0)
+    calls = []
+    real_probe = eng_mod.probe_halo_margin
+
+    def counting_probe(*a, **k):
+        calls.append(a[3])  # the pad
+        return real_probe(*a, **k)
+
+    monkeypatch.setattr(eng_mod, "probe_halo_margin", counting_probe)
+    e1 = SREngine("realesrgan_x4", weights_dir=wdir, dtype="float32",
+                  tile_size=48, tile_pad=4, batch_size=4)
+    first_calls = list(calls)
+    assert first_calls, "first construction must probe"
+    e2 = SREngine("realesrgan_x4", weights_dir=wdir, dtype="float32",
+                  tile_size=48, tile_pad=4, batch_size=4)
+    assert calls == first_calls, "second construction must not re-probe"
+    assert e2.tile_pad == e1.tile_pad
+    assert e2.halo_margin_lsb == e1.halo_margin_lsb
+    # cross-process path: clear the in-process memo, the sidecar serves
+    eng_mod._PROBE_MEMO.clear()
+    e3 = SREngine("realesrgan_x4", weights_dir=wdir, dtype="float32",
+                  tile_size=48, tile_pad=4, batch_size=4)
+    assert calls == first_calls, "sidecar must serve a fresh process"
+    assert e3.tile_pad == e1.tile_pad
+
+
+def test_settings_pad_probe_knob(tmp_path, monkeypatch):
+    """Settings.sr_pad_probe=False disables the probe through
+    get_engine (the operator's global opt-out, ADVICE r4)."""
+    from s2sr_tpu.config import get_settings
+    from s2sr_tpu.models.engine import get_engine
+
+    wdir = _save_checkpoint(tmp_path, "knob", weight_mult=6.0)
+    monkeypatch.setenv("SR_PAD_PROBE", "false")
+    get_settings.cache_clear()
+    try:
+        eng = get_engine("realesrgan_x4", weights_dir=str(wdir),
+                         dtype="float32", tile_size=48, tile_pad=4,
+                         batch_size=4)
+        assert eng.halo_margin_lsb is None
+        assert eng.tile_pad == 4
+    finally:
+        get_settings.cache_clear()
