@@ -41,8 +41,15 @@ def apply_wow_sr(
     weights_dir: Path | str = "models",
     timer: Optional[StageTimer] = None,
     precomputed_sr=None,
+    precision: Optional[str] = None,
 ) -> Tuple[Path, dict]:
-    """SR + enhancement → saved raster, metadata (``wow_sr.py:28-184``)."""
+    """SR + enhancement → saved raster, metadata (``wow_sr.py:28-184``).
+
+    ``precision``: None/"default" follows ``Settings.sr_dtype``;
+    "bfloat16"/"float32"/"int8" pin the engine dtype for this job —
+    "int8" is the measured +4.4% mixed-precision turbo trunk at
+    −0.03 dB vs bfloat16 (VERDICT r4 #4; BENCH_NOTES int8 section).
+    """
     model_display = MODEL_DISPLAY.get(model, model)
     logger.info("WOW Super-Resolution (%s + Enhanced): %s", model_display, input_path)
     timer = timer or StageTimer(total_stages=2)
@@ -50,8 +57,12 @@ def apply_wow_sr(
     img, transform, crs = load_rgb(input_path)
     original_shape = img.shape[:2]
 
+    engine_kwargs = {}
+    if precision and precision != "default":
+        engine_kwargs["dtype"] = precision
     with timer.stage(f"{model_display} (GAN upscaling)"):
-        engine = get_engine(model, weights_dir=str(weights_dir))
+        engine = get_engine(model, weights_dir=str(weights_dir),
+                            **engine_kwargs)
         if precomputed_sr is None:
             # bucketed serving path: arbitrary upload sizes reuse one
             # warm fixed-window executable, no per-shape compile
@@ -98,8 +109,16 @@ def apply_wow_sr(
         "effective_resolution_m": 10.0 / scale,
         "optimized_for": "z18_crop_visibility",
         "pretrained": engine.pretrained,
+        # the precision actually served (engine dtype), echoed per job
+        # with the quality caveat for the opt-in turbo mode
+        "precision": ("int8" if engine.quantized
+                      else np.dtype(engine.dtype).name),
         "timing": timer.summary(),
     }
+    if engine.quantized:
+        metadata["precision_note"] = (
+            "int8-mixed trunk: ~+4% throughput, -0.03 dB vs bfloat16 "
+            "(opt-in turbo mode)")
     return final_output, metadata
 
 
@@ -110,6 +129,7 @@ def process_wow_sr(
     model: str = "realesrgan_x4",
     weights_dir: Path | str = "models",
     precomputed_sr=None,
+    precision: Optional[str] = None,
 ) -> dict:
     """Job wrapper + sidecar metadata JSON (``wow_sr.py:212-266``)."""
     output_dir = Path(output_dir)
@@ -124,6 +144,7 @@ def process_wow_sr(
         model=model,
         weights_dir=weights_dir,
         precomputed_sr=precomputed_sr,
+        precision=precision,
     )
 
     result = {

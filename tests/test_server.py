@@ -988,3 +988,62 @@ def test_live_socket_streams_large_download(tmp_path):
         r2 = conn.getresponse()
         assert r2.status == 200 and b"healthy" in r2.read()
         conn.close()
+
+
+def test_wow_precision_turbo_end_to_end(app, seeded_scene):
+    """VERDICT r4 #4: per-request turbo. precision="turbo" routes the
+    job through the int8-mixed engine; the chosen mode + quality caveat
+    are echoed in the job result and /api/metadata lists the resident
+    int8 engine alongside the default."""
+    resp, payload = asyncio.run(call(app, "POST", "/api/wow", json_body={
+        "input_file": str(seeded_scene), "enhance_crops": False,
+        "precision": "turbo"}))
+    assert resp.status_code == 200, payload
+    job = wait_for(app, payload["job_id"])
+    assert job["status"] == "completed", job["message"]
+    assert job["precision"] == "int8"
+    md = job["result"]["sr_metadata"]
+    assert md["precision"] == "int8"
+    assert "-0.03 dB" in md["precision_note"]
+
+    _, meta = asyncio.run(call(app, "GET", "/api/metadata"))
+    precisions = {m["precision"] for m in meta["models"].values()}
+    assert "int8" in precisions
+
+
+def test_wow_precision_invalid_rejected(app, seeded_scene):
+    resp, payload = asyncio.run(call(app, "POST", "/api/wow", json_body={
+        "input_file": str(seeded_scene), "precision": "fp8"}))
+    assert resp.status_code == 400
+    assert "precision" in payload["detail"].lower()
+
+
+def test_enhance_precision_field_echoed(app):
+    """/api/enhance accepts a multipart precision field; the response
+    and job record carry it, and the coalesce identity includes it."""
+    from PIL import Image
+    import io
+
+    img = np.random.default_rng(1).integers(
+        0, 255, (40, 40, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    boundary = "precb"
+    body = (
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="precision"\r\n\r\n'
+        f"turbo\r\n"
+        f"--{boundary}\r\n"
+        f'Content-Disposition: form-data; name="image"; filename="p.png"\r\n'
+        f"Content-Type: image/png\r\n\r\n"
+    ).encode() + buf.getvalue() + f"\r\n--{boundary}--\r\n".encode()
+    headers = {"content-type": f"multipart/form-data; boundary={boundary}",
+               "content-length": str(len(body))}
+    resp, payload = asyncio.run(call(app, "POST", "/api/enhance",
+                                     body=body, headers=headers))
+    assert resp.status_code == 200, payload
+    assert payload["precision"] == "int8"
+    job = wait_for(app, payload["job_id"])
+    assert job["status"] == "completed", job["message"]
+    assert job["precision"] == "int8"
+    assert job["result"]["sr_metadata"]["precision"] == "int8"
