@@ -37,6 +37,36 @@ Params = Dict[str, Any]
 # pin other group sizes.
 WINDOW_GROUP = 2
 
+# Fused Pallas window-attention (r5, VERDICT r4 #1): LN→qkv→scores→
+# softmax→out→proj in ONE kernel pass over the NHWC map — removes the
+# partition/reverse/head-transpose relayout copies and the scores
+# materialization that the r5 byte decomposition showed dominate the
+# exact path's HBM traffic (scripts/swinir_bytes.py). "auto" = on for
+# TPU backends whenever the padded width is a multiple of 2·window
+# (the pairing constraint); "1"/"0" force. Same-terms math as the
+# paired XLA path (softmax in f32 — test-pinned vs the fp32 oracle).
+import os as _os
+
+FUSED_ATTN = _os.environ.get("S2SR_SWINIR_FUSED_ATTN", "auto")
+FUSED_ATTN_INTERPRET = False   # tests: run the kernel in interpret mode
+
+
+def _use_fused_attn(ww: int, window: int, override: str | None = None) \
+        -> bool:
+    """r5 measured ladder at 512² exact bf16 (BENCH_NOTES r5): unrolled
+    XLA 0.457 → scan 0.560 → scan+fused kernel (16 pairs/step) 0.827
+    MPix/s. The one-pair-per-step v1 kernel LOST to scan+XLA (0.498) —
+    per-step overhead and MXU underfill ate the byte savings; batching
+    16 pairs per grid step is what converts the traffic cut into
+    wall-clock. "auto" = kernel on TPU backends when the padded width
+    is a multiple of 2·window; inference only (no VJP)."""
+    mode = override if override is not None else FUSED_ATTN
+    if mode == "0" or ww % (2 * window) != 0:
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
 
 # --- primitives --------------------------------------------------------
 
@@ -198,18 +228,35 @@ def _shift_mask_device(h: int, w: int, window: int, shift: int) -> jnp.ndarray:
 
 
 def _swin_block(x, p, h: int, w: int, num_heads: int, window: int,
-                shift: int, bias_idx, mask):
+                shift: int, bias_idx, mask, fused: bool = False):
     b = x.shape[0]
     shortcut = x
-    y = _layer_norm(x, p["norm1"]).reshape(b, h, w, -1)
-    if shift > 0:
-        y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
-    windows = window_partition(y, window)
-    attn = _attention(windows, p["attn"], num_heads, window, bias_idx,
-                      mask if shift > 0 else None)
-    y = window_reverse(attn, window, h, w)
-    if shift > 0:
-        y = jnp.roll(y, (shift, shift), axis=(1, 2))
+    if fused:
+        from ..ops.pallas.window_attention import (
+            build_attention_tables,
+            window_attention_fused,
+        )
+
+        tables = build_attention_tables(p["attn"], num_heads, window,
+                                        shift, dtype=x.dtype)
+        img = x.reshape(b, h, w, -1)
+        if shift > 0:
+            img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
+        y = window_attention_fused(
+            img, p["norm1"], tables, num_heads, window,
+            shifted=shift > 0, interpret=FUSED_ATTN_INTERPRET)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+    else:
+        y = _layer_norm(x, p["norm1"]).reshape(b, h, w, -1)
+        if shift > 0:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+        windows = window_partition(y, window)
+        attn = _attention(windows, p["attn"], num_heads, window, bias_idx,
+                          mask if shift > 0 else None)
+        y = window_reverse(attn, window, h, w)
+        if shift > 0:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
     x = shortcut + y.reshape(b, h * w, -1)
     y = _layer_norm(x, p["norm2"])
     y = _linear(_gelu(_linear(y, p["mlp"]["fc1"])), p["mlp"]["fc2"])
@@ -217,14 +264,14 @@ def _swin_block(x, p, h: int, w: int, num_heads: int, window: int,
 
 
 def _rstb(x, p, h: int, w: int, depths: int, num_heads: int, window: int,
-          bias_idx, mask):
+          bias_idx, mask, fused: bool = False):
     """Residual Swin Transformer Block: blocks + trailing conv + residual."""
     b = x.shape[0]
     y = x
     for i in range(depths):
         shift = 0 if i % 2 == 0 else window // 2
         y = _swin_block(y, p["blocks"][i], h, w, num_heads, window, shift,
-                        bias_idx, mask)
+                        bias_idx, mask, fused=fused)
     img = y.reshape(b, h, w, -1)
     img = _conv3x3(img, p["conv"])
     return x + img.reshape(b, h * w, -1)
@@ -258,6 +305,8 @@ class SwinIR:
         img_range: float = 1.0,
         dtype=jnp.float32,
         remat: bool = False,
+        scan: bool = True,
+        fused_attn: str | None = None,
     ):
         self.scale = scale
         self.embed_dim = embed_dim
@@ -271,6 +320,23 @@ class SwinIR:
         # rematerialise each RSTB on backward (training memory knob —
         # mirrors rrdbnet_apply(remat=True); no-op for inference)
         self.remat = remat
+        # scan-over-blocks formulation (VERDICT r4 #2): the trunk is 36
+        # structurally identical Swin blocks; rolling them into
+        # lax.scan(layers) × lax.scan(block pairs) shrinks the HLO to
+        # ~2 block bodies instead of 36 — the unrolled 36864-window
+        # graph is what blew up the compiler at 1536² exact (BENCH_
+        # NOTES r4 ceiling walk). Identical math in identical order;
+        # requires a uniform config (all depths even + equal, equal
+        # heads — true for every registry SwinIR), else falls back to
+        # the unrolled loop.
+        self.scan = (scan and len(set(depths)) == 1
+                     and len(set(num_heads)) == 1
+                     and depths[0] % 2 == 0)
+        # Per-instance override of the module-level FUSED_ATTN switch:
+        # None follows the module default; "0" forces the XLA path
+        # (training MUST use it — pallas_call has no VJP here); "1"
+        # forces the kernel where the width constraint allows.
+        self.fused_attn = fused_attn
         # DIV2K RGB mean, as in the original SwinIR (3-channel models).
         # CONSCIOUS FIX of a reference quirk: the reference's forward
         # unconditionally overwrites the mean with zeros
@@ -381,14 +447,20 @@ class SwinIR:
         tokens = feat.reshape(b, h * ww, -1)
         tokens = _layer_norm(tokens, params["norm_embed"])
 
-        mask = _shift_mask_device(h, ww, w, w // 2)
-        rstb = (jax.checkpoint(_rstb, static_argnums=(2, 3, 4, 5, 6))
-                if self.remat else _rstb)
-        body = tokens
-        for layer, depth, heads in zip(params["layers"], self.depths,
-                                       self.num_heads):
-            body = rstb(body, layer, h, ww, depth, heads, w,
-                        self._bias_idx, mask)
+        fused = _use_fused_attn(ww, w, self.fused_attn)
+        mask = None if fused else _shift_mask_device(h, ww, w, w // 2)
+        if self.scan:
+            body = self._trunk_scan(params["layers"], tokens, h, ww, mask,
+                                    fused)
+        else:
+            rstb = (jax.checkpoint(_rstb,
+                                   static_argnums=(2, 3, 4, 5, 6, 9))
+                    if self.remat else _rstb)
+            body = tokens
+            for layer, depth, heads in zip(params["layers"], self.depths,
+                                           self.num_heads):
+                body = rstb(body, layer, h, ww, depth, heads, w,
+                            self._bias_idx, mask, fused)
         body = _layer_norm(body, params["norm"])
         body_img = body.reshape(b, h, ww, -1)
         feat = feat + _conv3x3(body_img, params["conv_after_body"])
@@ -405,6 +477,52 @@ class SwinIR:
         out = _conv3x3(feat, params["conv_last"])
         out = out.astype(jnp.float32) / self.img_range + self.mean
         return out[:, :h0 * self.scale, :w0 * self.scale, :]
+
+    def _trunk_scan(self, layers, tokens, h: int, ww: int, mask,
+                    fused: bool = False):
+        """All RSTBs as lax.scan(layers) × lax.scan(shift pairs).
+
+        Same ops in the same order as the unrolled trunk (test-pinned
+        equal); the HLO carries TWO block bodies total instead of 36,
+        which is what lets the exact whole-image path compile past the
+        r4 1280² ceiling."""
+        w = self.window_size
+        depth = self.depths[0]
+        heads = self.num_heads[0]
+        bias_idx = self._bias_idx
+
+        # stack the 36 block pytrees → leaves (L, depth/2, 2, ...), and
+        # the per-layer convs → (L, ...). Stacking happens at trace
+        # time over parameter leaves only (~0.5 MB/block — noise next
+        # to the activations).
+        blocks = [b for layer in layers for b in layer["blocks"]]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+        L = len(layers)
+        stacked = jax.tree.map(
+            lambda a: a.reshape((L, depth // 2, 2) + a.shape[1:]), stacked)
+        convs = jax.tree.map(lambda *xs: jnp.stack(xs),
+                             *[layer["conv"] for layer in layers])
+
+        def pair_body(y, pair_p):
+            p0 = jax.tree.map(lambda a: a[0], pair_p)
+            p1 = jax.tree.map(lambda a: a[1], pair_p)
+            y = _swin_block(y, p0, h, ww, heads, w, 0, bias_idx, mask,
+                            fused=fused)
+            y = _swin_block(y, p1, h, ww, heads, w, w // 2, bias_idx,
+                            mask, fused=fused)
+            return y, None
+
+        def layer_body(x, layer_p):
+            pair_ps, conv_p = layer_p
+            y, _ = jax.lax.scan(pair_body, x, pair_ps)
+            img = y.reshape(y.shape[0], h, ww, -1)
+            img = _conv3x3(img, conv_p)
+            return x + img.reshape(x.shape), None
+
+        body_fn = (jax.checkpoint(layer_body, prevent_cse=False)
+                   if self.remat else layer_body)
+        body, _ = jax.lax.scan(body_fn, tokens, (stacked, convs))
+        return body
 
     @partial(jax.jit, static_argnums=0)
     def _jitted(self, params, x):

@@ -119,7 +119,10 @@ def _build_swinir(config: TrainConfig, dtype):
     return SwinIR(scale=config.scale, embed_dim=config.embed_dim,
                   depths=config.depths, num_heads=config.heads,
                   window_size=config.window, dtype=dtype,
-                  remat=config.remat)
+                  remat=config.remat,
+                  # training differentiates the forward — the fused
+                  # Pallas attention is inference-only (no VJP)
+                  fused_attn="0")
 
 
 def model_apply(config: TrainConfig, params, x):
