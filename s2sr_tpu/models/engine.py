@@ -49,24 +49,23 @@ logger = setup_logging("s2sr_tpu.engine")
 _HALO_MARGIN_MAX_LSB = 0.25
 _HALO_PAD_LADDER = (6, 8, 10)
 
-# SwinIR exact-path ceiling (VERDICT r3 weak #3). Tiled SwinIR is
-# approximate at ANY pad (window attention propagates globally), so the
-# engage threshold decides which sizes get exact output. The reference
-# inherited the CPU-era rule (tile²·4 = 512²); on a v5e the exact
-# whole-image forward runs to 1280² at 0.395-0.44 MPix/s (measured
-# walk, BENCH_NOTES r4 "SwinIR exact-path ceiling": 1536² fails the
-# remote compile after the r4 device-mask fix removed the 1024² HTTP
-# 413). Exactness costs ~9% at 1024² vs the approximate tiled path
-# (0.408 vs 0.446) — exact wins by default, `sr_exact_area` lowers it
-# for speed. Sizes above fall back to tiled (approximate-by-
+# SwinIR exact-path ceiling (VERDICT r3 weak #3, raised twice since).
+# Tiled SwinIR is approximate at ANY pad (window attention propagates
+# globally), so the engage threshold decides which sizes get exact
+# output. The reference inherited the CPU-era rule (tile²·4 = 512²);
+# r4 measured the on-chip exact ceiling at 1280² (0.395-0.44 MPix/s,
+# 1536² OOM'd HBM on the whole-image upsample tail). r5's scan trunk +
+# fused Pallas attention + strip tail (models/swinir.py) lift the
+# exact path to 0.78-0.83 MPix/s AND through 2048² (walk in
+# BENCH_NOTES r5). Exact wins by default; `sr_exact_area` lowers the
+# threshold where warm fixed-window executables matter more than
+# exactness. Sizes above fall back to tiled (approximate-by-
 # construction, like the reference wrapper `server/app/swinir.py:
 # 704-748`). TRADE-OFF: the exact path jit-compiles per input shape,
-# so each NEW upload shape in (512², 1280²] pays a cold whole-image
+# so each NEW upload shape in (512², 2048²] pays a cold whole-image
 # compile (minutes through a remote-compile relay; the persistent XLA
-# cache makes it once-ever per shape) — operators who prefer the warm
-# fixed-window executables at the price of approximate output should
-# set `sr_exact_area` to the old 512² rule (tile²·4 = 262144).
-SWINIR_EXACT_AREA = 1280 * 1280
+# cache makes it once-ever per shape).
+SWINIR_EXACT_AREA = 2048 * 2048
 
 
 def probe_halo_margin(params, scale, dtype, pad, *, probe_tile=32,

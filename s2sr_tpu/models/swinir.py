@@ -50,6 +50,15 @@ import os as _os
 FUSED_ATTN = _os.environ.get("S2SR_SWINIR_FUSED_ATTN", "auto")
 FUSED_ATTN_INTERPRET = False   # tests: run the kernel in interpret mode
 
+# Above this trunk area the x4 upsample tail runs in haloed row strips
+# (see SwinIR._tail_strips): the whole-image tail OOMs HBM past ~1280²
+# — its 4H×4W×64 activation pads to 128 lanes (9 GB at 1536²).
+TAIL_STRIP_AREA = 1280 * 1280
+TAIL_STRIP = 128               # trunk rows per strip
+_TAIL_PAD = 3                  # halo ≥ the tail's receptive field:
+#   conv_before(1) + up0(1) + up1(0.5 at 2x) + conv_last(0.25 at 4x)
+#   = 2.75 input px for x4 (2.875 for x8)
+
 
 def _use_fused_attn(ww: int, window: int, override: str | None = None) \
         -> bool:
@@ -465,6 +474,15 @@ class SwinIR:
         body_img = body.reshape(b, h, ww, -1)
         feat = feat + _conv3x3(body_img, params["conv_after_body"])
 
+        if h * ww > TAIL_STRIP_AREA and h >= 2 * _TAIL_PAD + TAIL_STRIP:
+            out = self._tail_strips(params, feat)
+        else:
+            out = self._tail(params, feat)
+        out = out.astype(jnp.float32) / self.img_range + self.mean
+        return out[:, :h0 * self.scale, :w0 * self.scale, :]
+
+    def _tail(self, params, feat):
+        """conv_before_upsample → pixel-shuffle chain → conv_last."""
         feat = jax.nn.leaky_relu(
             _conv3x3(feat, params["conv_before_upsample"]), 0.01)
         s = self.scale
@@ -474,9 +492,48 @@ class SwinIR:
             s //= factor if factor != 3 else 3
             if factor == 3:
                 s = 1
-        out = _conv3x3(feat, params["conv_last"])
-        out = out.astype(jnp.float32) / self.img_range + self.mean
-        return out[:, :h0 * self.scale, :w0 * self.scale, :]
+        return _conv3x3(feat, params["conv_last"])
+
+    def _tail_strips(self, params, feat):
+        """The upsample tail in haloed row strips (lax.map).
+
+        Root cause of the r4 "1536² compiler blow-up", pinned this
+        round: the whole-image tail's (1, 4H, 4W, 64) activation is
+        lane-padded to 128 channels — 9.01 GB at 1536², and the
+        program OOMs HBM at 18.02/15.75 GB (full error in BENCH_NOTES
+        r5). The tail is purely local (3×3 convs + pixel shuffles,
+        receptive field 2.75 input px for x4), so strips with a 3-row halo
+        reproduce the whole-image result; strip windows are CLAMPED to
+        the image so edge strips keep the exact 'SAME' zero-padding
+        semantics of the whole forward (float-identical — the window
+        always covers each kept pixel's full receptive field).
+        """
+        b, h, w_, c = feat.shape
+        pad = _TAIL_PAD
+        strip = TAIL_STRIP
+        n = -(-h // strip)
+        win = strip + 2 * pad
+        sc = self.scale
+
+        starts = jnp.minimum(jnp.maximum(jnp.arange(n) * strip - pad, 0),
+                             h - win)
+        offs = jnp.arange(n) * strip - starts   # crop offset inside win
+
+        def one(args):
+            start, off = args
+            s = jax.lax.dynamic_slice_in_dim(feat, start, win, axis=1)
+            y = self._tail(params, s)           # (b, sc·win, sc·w, 3)
+            # the last (partial) strip's crop may overrun the window —
+            # those rows are truncated by the caller's [:h·sc]; pad so
+            # dynamic_slice never clamps (clamping would SHIFT rows)
+            y = jnp.pad(y, ((0, 0), (0, sc * strip), (0, 0), (0, 0)))
+            return jax.lax.dynamic_slice_in_dim(y, off * sc, sc * strip,
+                                                axis=1)
+
+        ys = jax.lax.map(one, (starts, offs))   # (n, b, sc·strip, ·, 3)
+        out = ys.transpose(1, 0, 2, 3, 4).reshape(b, n * strip * sc,
+                                                  w_ * sc, -1)
+        return out[:, :h * sc]
 
     def _trunk_scan(self, layers, tokens, h: int, ww: int, mask,
                     fused: bool = False):

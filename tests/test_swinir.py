@@ -219,3 +219,29 @@ def test_shift_mask_device_matches_full():
         full = _shift_mask(h, w, win, win // 2)
         dev = np.asarray(_shift_mask_device(h, w, win, win // 2))
         np.testing.assert_array_equal(dev, full, err_msg=f"{h}x{w} w{win}")
+
+
+def test_tail_strips_bit_exact():
+    """r5: past TAIL_STRIP_AREA the x4 upsample tail runs in haloed row
+    strips (the whole-image tail OOMs HBM at 1536² — its 4H×4W×64
+    activation lane-pads to 128 ch). The strip windows are clamped
+    inside the image, so every kept pixel's receptive field sees
+    identical inputs: bit-exact vs the whole tail, any height."""
+    import s2sr_tpu.models.swinir as sw
+
+    kw = dict(scale=4, embed_dim=12, depths=(2, 2), num_heads=(2, 2),
+              window_size=4, num_feat=8)
+    m = sw.SwinIR(**kw)
+    p = m.init(jax.random.PRNGKey(0))
+    old = sw.TAIL_STRIP
+    sw.TAIL_STRIP = 16
+    try:
+        for h in (40, 41, 23):
+            feat = jnp.asarray(
+                np.random.default_rng(h).random((1, h, 24, 12)),
+                jnp.float32)
+            a = np.asarray(m._tail(p, feat))
+            b = np.asarray(m._tail_strips(p, feat))
+            assert (a == b).all(), np.abs(a - b).max()
+    finally:
+        sw.TAIL_STRIP = old
