@@ -306,7 +306,8 @@ def restore_flexible(mgr, config: TrainConfig):
 
 def make_pool_sampler(scale: int, crop_lr: int, batch: int,
                       blur_sigma: float = 0.0, noise_std: float = 0.0,
-                      jpeg_range: Optional[Tuple[float, float]] = None):
+                      jpeg_range: Optional[Tuple[float, float]] = None,
+                      second_order=None):
     """→ ``sample_batch(pool, key) -> (lr_b, hr_b)``: device-side crop
     sampling from an HBM-resident scene pool (uniform scene, uniform
     offset, 0.5 h/v-flips, area-×scale degradation; optional gaussian
@@ -322,6 +323,12 @@ def make_pool_sampler(scale: int, crop_lr: int, batch: int,
     if jpeg_range is not None and crop_lr % 16:
         raise ValueError("jpeg_range needs crop_lr a multiple of 16 "
                          f"(4:2:0 blocks), got {crop_lr}")
+    # second_order: a DegradationConfig routes the LR synthesis through
+    # the full Real-ESRGAN two-stage chain (training/degradation.py);
+    # it REPLACES the simple blur/noise/jpeg knobs above
+    if second_order is not None and crop_lr % 16:
+        raise ValueError("second_order needs crop_lr a multiple of 16 "
+                         f"(JPEG blocks at both stages), got {crop_lr}")
 
     def sample_batch(pool, key):
         n_scenes, H, W, _ = pool.shape  # don't shadow PartitionSpec P
@@ -339,6 +346,14 @@ def make_pool_sampler(scale: int, crop_lr: int, batch: int,
             return c
 
         hr_b = jax.vmap(crop_one)(idx, ys, xs, flips)
+        if second_order is not None:
+            from .degradation import second_order_degrade
+
+            dkeys = jax.random.split(k5, batch)
+            lr_b = jax.vmap(
+                lambda im, k: second_order_degrade(
+                    k, im, scale, second_order))(hr_b, dkeys)
+            return lr_b, hr_b
         lr_b = hr_b.reshape(batch, crop_lr, scale, crop_lr, scale,
                             3).mean((2, 4))
         if blur_sigma > 0:
@@ -369,6 +384,7 @@ def make_device_pool_train_step(
     blur_sigma: float = 0.0,
     noise_std: float = 0.0,
     jpeg_range: Optional[Tuple[float, float]] = None,
+    second_order=None,
 ):
     """Fully device-resident input pipeline + K-step scan trainer.
 
@@ -396,7 +412,8 @@ def make_device_pool_train_step(
     """
     tx = make_optimizer(config)
     sample_batch = make_pool_sampler(config.scale, crop_lr, batch,
-                                     blur_sigma, noise_std, jpeg_range)
+                                     blur_sigma, noise_std, jpeg_range,
+                                     second_order=second_order)
 
     constrain = None
     if mesh is not None:

@@ -69,6 +69,13 @@ def main() -> None:
                          "degradation)")
     ap.add_argument("--noise-std", type=float, default=0.0,
                     help="gaussian noise std on the training LR")
+    ap.add_argument("--second-order", action="store_true",
+                    help="degrade LR through the full Real-ESRGAN "
+                         "two-stage device chain (training/"
+                         "degradation.py: mixed kernels + random "
+                         "resize + noise + JPEG + sinc) instead of "
+                         "the simple blur/noise/jpeg knobs; device "
+                         "pipeline only, crop multiple of 16")
     ap.add_argument("--jpeg", default="",
                     help="training-LR JPEG quality range 'QLO,QHI' "
                          "(device DCT model, per-sample uniform)")
@@ -162,11 +169,18 @@ def main() -> None:
             CheckpointManager(args.init_ckpt), config)
         print(f"warm-start params from {args.init_ckpt} "
               f"@ step {start_step}")
+    second_order = None
+    if args.second_order:
+        if not device_pipe:
+            raise SystemExit("--second-order needs the device pipeline")
+        from s2sr_tpu.training.degradation import DegradationConfig
+
+        second_order = DegradationConfig()
     if device_pipe:
         pool_fn, _ = make_device_pool_train_step(
             config, args.crop, args.batch, chunk,
             blur_sigma=args.blur_sigma, noise_std=args.noise_std,
-            jpeg_range=jpeg_range)
+            jpeg_range=jpeg_range, second_order=second_order)
     elif chunk > 1:
         chunk_fn, _ = make_chunked_train_step(config)
     else:
@@ -442,7 +456,8 @@ def main() -> None:
         "degradation": {"blur_sigma": args.blur_sigma,
                         "noise_std": args.noise_std,
                         "jpeg_range": list(jpeg_range) if jpeg_range
-                        else None},
+                        else None,
+                        "second_order": bool(second_order)},
         "bicubic": baseline,
         "bicubic_degraded": baseline_deg,
         "model_init": at_init,
