@@ -34,6 +34,12 @@ def main() -> None:
     ap.add_argument("--models", default="edsr_x2,edsr_x3,edsr_x4,"
                     "espcn_x2,espcn_x3,espcn_x4,"
                     "lapsrn_x2,lapsrn_x4,lapsrn_x8")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="also record the BATCHED device rate: N "
+                         "size//2-sized inputs per dispatch, queued "
+                         "runs + one probe sync — the true kernel "
+                         "rate for the dispatch-floor-bound small "
+                         "models (VERDICT r4 #9)")
     args = ap.parse_args()
     try:
         from s2sr_tpu.utils.jax_cache import enable_compilation_cache
@@ -84,6 +90,22 @@ def main() -> None:
             dt = (time.perf_counter() - t0) / args.runs
             row["s_per_image"] = round(dt, 3)
             row["mpix_s"] = round(args.size * args.size / dt / 1e6, 2)
+            if args.batch:
+                bs, bsz = args.batch, args.size // 2
+                xb = jnp.asarray(rng.random(
+                    (bs, bsz, bsz, getattr(instance, "num_ch", 3)),
+                    np.float32))
+                out = fn(params, xb)
+                _ = np.asarray(out.ravel()[:1])
+                t0 = time.perf_counter()
+                outs = [fn(params, xb) for _ in range(args.runs)]
+                for o in outs:
+                    _ = np.asarray(o.ravel()[:1])
+                dt_b = (time.perf_counter() - t0) / args.runs
+                row["batch"] = f"{bs}x{bsz}"
+                row["s_batch"] = round(dt_b, 4)
+                row["mpix_s_batched"] = round(
+                    bs * bsz * bsz / dt_b / 1e6, 2)
             print(json.dumps(row), flush=True)
         except Exception as e:
             print(json.dumps({"model": name, "error": type(e).__name__,

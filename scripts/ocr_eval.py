@@ -35,7 +35,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # shape bucket (the axon sitecustomize overrides JAX_PLATFORMS)
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# --composed engine needs the device; everything else forces CPU
+if "engine" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 from s2sr_tpu.decode.ocr import ocr_image  # noqa: E402
 
@@ -81,10 +83,80 @@ def evaluate(name, n, **kw):
     }), flush=True)
 
 
+def evaluate_composed(name, n, enhance_fn, **kw):
+    """VERDICT r4 #7: the PRODUCT flow (decode service: QR miss → OCR →
+    SR-enhanced retry), not the raw recognizer. The final serial is
+    the user-visible outcome."""
+    from s2sr_tpu.decode.service import decode_with_retry
+
+    exact = 0
+    char_acc = []
+    retried = 0
+    cases = [SERIALS[i % len(SERIALS)] for i in range(n)]
+    for i, text in enumerate(cases):
+        img = render(text, seed=i, **kw)
+        rgb = np.stack([img] * 3, axis=-1)
+        res = decode_with_retry(rgb, enhance_fn=enhance_fn)
+        got = (res.get("serial") or "").replace(" ", "")
+        want = text.replace(" ", "")
+        exact += got == want
+        retried += len(res.get("attempts", [])) > 1
+        char_acc.append(difflib.SequenceMatcher(None, got, want).ratio())
+    total = len(char_acc)
+    print(json.dumps({
+        "condition": name, "n": total,
+        "exact_rate": round(exact / total, 3),
+        "char_acc": round(float(np.mean(char_acc)), 3),
+        "retry_rate": round(retried / total, 3),
+    }), flush=True)
+
+
+def _bicubic_x4(arr):
+    from PIL import Image
+
+    im = Image.fromarray(arr)
+    return np.asarray(
+        im.resize((im.width * 4, im.height * 4), Image.BICUBIC))
+
+
+def _engine_x4():
+    from s2sr_tpu.models.engine import get_engine
+
+    engine = get_engine("realesrgan_x4", weights_dir="models")
+
+    def fn(arr):
+        return engine.enhance_serving(arr)
+
+    return fn
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=10)
+    ap.add_argument("--composed", choices=("off", "bicubic", "engine"),
+                    default="off",
+                    help="run the FAILING raw conditions through the "
+                         "decode service's SR-retry flow instead of "
+                         "the raw recognizer; 'engine' uses the "
+                         "resident SR engine (random init when no "
+                         "weights are cached — the offline product "
+                         "answer), 'bicubic' the information floor")
     args = ap.parse_args()
+    if args.composed != "off":
+        dejavu = "/usr/share/fonts/truetype/dejavu"
+        fn = (_bicubic_x4 if args.composed == "bicubic"
+              else _engine_x4())
+        tag = f"composed+{args.composed}"
+        evaluate_composed(f"{tag}: DejaVuSans 20px", args.n, fn,
+                          font=f"{dejavu}/DejaVuSans.ttf", size=20)
+        evaluate_composed(f"{tag}: DejaVuSans 14px", args.n, fn,
+                          font=f"{dejavu}/DejaVuSans.ttf", size=14)
+        evaluate_composed(f"{tag}: PIL default bitmap", args.n, fn,
+                          font="default", size=16)
+        evaluate_composed(f"{tag}: noise sigma=20", args.n, fn,
+                          font=f"{dejavu}/DejaVuSans.ttf", size=48,
+                          noise=20)
+        return
     dejavu = "/usr/share/fonts/truetype/dejavu"
     # atlas font baseline (sanity: should be ~perfect)
     evaluate("atlas: DejaVuSans 48px", args.n,
