@@ -999,7 +999,9 @@ def test_wow_precision_turbo_end_to_end(app, seeded_scene):
         "input_file": str(seeded_scene), "enhance_crops": False,
         "precision": "turbo"}))
     assert resp.status_code == 200, payload
-    job = wait_for(app, payload["job_id"])
+    # int8 engine construction calibrates on CPU (~1-2 min alone, more
+    # when the 1-core box is shared) — give the job extra headroom
+    job = wait_for(app, payload["job_id"], timeout=600)
     assert job["status"] == "completed", job["message"]
     assert job["precision"] == "int8"
     md = job["result"]["sr_metadata"]
@@ -1043,7 +1045,7 @@ def test_enhance_precision_field_echoed(app):
                                      body=body, headers=headers))
     assert resp.status_code == 200, payload
     assert payload["precision"] == "int8"
-    job = wait_for(app, payload["job_id"])
+    job = wait_for(app, payload["job_id"], timeout=600)
     assert job["status"] == "completed", job["message"]
     assert job["precision"] == "int8"
     assert job["result"]["sr_metadata"]["precision"] == "int8"
