@@ -258,11 +258,10 @@ def labels_to_polygons(
     labels: np.ndarray, transform: Affine, config: ExtractionConfig
 ) -> List[dict]:
     features: List[dict] = []
-    for label_val in np.unique(labels):
-        if label_val == 0:
-            continue
-        polys = [p for p in mask_to_polygons(labels == label_val)
-                 if not p.is_empty]
+    from .geometry import iter_label_masks
+
+    for label_val, sub, (oy, ox) in iter_label_masks(labels):
+        polys = [p for p in mask_to_polygons(sub) if not p.is_empty]
         if not polys:
             continue
         # The reference traces each label with connectivity=8 (one shape
@@ -270,7 +269,7 @@ def labels_to_polygons(
         # pinches and cleanup keeps the largest part (``:504-506``) —
         # net effect: the largest 4-connected piece per label.
         poly = max(polys, key=lambda p: p.area)
-        world = poly.transform(lambda x, y: transform * (x, y))
+        world = poly.transform(lambda x, y: transform * (x + ox, y + oy))
         features.append({"geometry": world, "label": int(label_val)})
     logger.info("Extracted %d raw polygons", len(features))
     return features

@@ -371,13 +371,14 @@ def extract_field_polygons_v2(
     max_area_m2 = config.max_area_ha * 10000
     simplify_tol = config.simplify_tolerance_m / 111000  # v2 uses /111000 (:903), not v1's 1e-5
     features = []
-    for label_val in np.unique(labels):
-        if label_val == 0:
-            continue
-        for poly in mask_to_polygons(labels == label_val):
+    from .geometry import iter_label_masks
+
+    for label_val, sub, (oy, ox) in iter_label_masks(labels):
+        for poly in mask_to_polygons(sub):
             if poly.is_empty:
                 continue
-            world = poly.transform(lambda x, y: transform * (x, y))
+            world = poly.transform(
+                lambda x, y: transform * (x + ox, y + oy))
             world = world.simplify(simplify_tol)
             area_m2 = world.area * (87000 * 111000)
             if not (min_area_m2 <= area_m2 <= max_area_m2):

@@ -280,6 +280,35 @@ def mask_to_polygons(mask: np.ndarray) -> List[Polygon]:
     return rings_to_polygons(rings)
 
 
+def iter_label_masks(labels: np.ndarray):
+    """Yield ``(label, bbox_mask, (y0, x0))`` per nonzero label.
+
+    One O(P log P) pass instead of the naive per-label full-image
+    compare: at full-res v2 extraction (r5 bench, 16.8 MPix × 1064
+    labels) the `labels == v` loop alone was ~17G element ops and
+    dominated wall time. Tracing inside each label's bounding box is
+    equivalent — `mask_to_polygons` coordinates just need the (x0, y0)
+    offset added back.
+    """
+    ys, xs = np.nonzero(labels)
+    if ys.size == 0:
+        return
+    vals = labels[ys, xs]
+    order = np.argsort(vals, kind="stable")
+    vals_s, ys_s, xs_s = vals[order], ys[order], xs[order]
+    bounds = np.searchsorted(vals_s, np.unique(vals_s))
+    bounds = np.append(bounds, vals_s.size)
+    for i in range(bounds.size - 1):
+        lo, hi = bounds[i], bounds[i + 1]
+        label = int(vals_s[lo])
+        yy, xx = ys_s[lo:hi], xs_s[lo:hi]
+        y0, y1 = int(yy.min()), int(yy.max())
+        x0, x1 = int(xx.min()), int(xx.max())
+        sub = np.zeros((y1 - y0 + 1, x1 - x0 + 1), bool)
+        sub[yy - y0, xx - x0] = True
+        yield label, sub, (y0, x0)
+
+
 # --- rasterisation (scanline) ------------------------------------------
 
 def rasterize_polygon(
