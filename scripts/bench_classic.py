@@ -91,6 +91,7 @@ def main() -> None:
             row["s_per_image"] = round(dt, 3)
             row["mpix_s"] = round(args.size * args.size / dt / 1e6, 2)
             if args.batch:
+              try:
                 bs, bsz = args.batch, args.size // 2
                 xb = jnp.asarray(rng.random(
                     (bs, bsz, bsz, getattr(instance, "num_ch", 3)),
@@ -106,6 +107,8 @@ def main() -> None:
                 row["s_batch"] = round(dt_b, 4)
                 row["mpix_s_batched"] = round(
                     bs * bsz * bsz / dt_b / 1e6, 2)
+              except Exception as e:  # batch leg must not lose the row
+                row["batch_error"] = f"{type(e).__name__}: {str(e)[:120]}"
             print(json.dumps(row), flush=True)
         except Exception as e:
             print(json.dumps({"model": name, "error": type(e).__name__,
