@@ -38,7 +38,7 @@ import numpy as np
 #   6: 1.51 MPix/s recorded     -> fail under 1.15
 # r5 (VERDICT r4 #3 — every production family gated, not just the
 # RRDB engine paths):
-#   7: SwinIR exact 512² 0.78 recorded (r5 fused attn) -> fail under 0.6
+#   7: SwinIR exact 512² 1.03 recorded (r5 fused block kernel) -> fail under 0.8
 #   8: EDSR x4 device 0.80 recorded         -> fail under 0.62
 #   9: 12-RDB amortised chain 57.2 TF/s     -> fail under 48
 GATE = {
@@ -47,7 +47,7 @@ GATE = {
     "3a_tile_warp_compute": ("tiles_s", "min", 85.0),
     "5_vector_extraction_warm": ("seconds", "max", 2.5),
     "6_int8_turbo": ("mpix_s", "min", 1.15),
-    "7_swinir_exact_512": ("mpix_s", "min", 0.6),
+    "7_swinir_exact_512": ("mpix_s", "min", 0.8),
     "8_edsr_x4_device": ("mpix_s", "min", 0.62),
     "9_rdb_chain": ("tf_s", "min", 48.0),
 }

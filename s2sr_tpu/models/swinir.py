@@ -49,6 +49,10 @@ import os as _os
 
 FUSED_ATTN = _os.environ.get("S2SR_SWINIR_FUSED_ATTN", "auto")
 FUSED_ATTN_INTERPRET = False   # tests: run the kernel in interpret mode
+# "block": the whole Swin block (attn + MLP + residuals) as one kernel
+# pass — x read once, written once per block; "attn": the r5 v2
+# attention-only kernel (the ablation/regression harness).
+FUSED_LEVEL = _os.environ.get("S2SR_SWINIR_FUSED_LEVEL", "block")
 
 # Above this trunk area the x4 upsample tail runs in haloed row strips
 # (see SwinIR._tail_strips): the whole-image tail OOMs HBM past ~1280²
@@ -243,6 +247,7 @@ def _swin_block(x, p, h: int, w: int, num_heads: int, window: int,
     if fused:
         from ..ops.pallas.window_attention import (
             build_attention_tables,
+            swin_block_fused,
             window_attention_fused,
         )
 
@@ -251,6 +256,15 @@ def _swin_block(x, p, h: int, w: int, num_heads: int, window: int,
         img = x.reshape(b, h, w, -1)
         if shift > 0:
             img = jnp.roll(img, (-shift, -shift), axis=(1, 2))
+        if FUSED_LEVEL == "block":
+            # whole block in one pass (attn + MLP + both residuals in
+            # rolled space — per-token ops commute with the roll)
+            out = swin_block_fused(
+                img, p, tables, num_heads, window, shifted=shift > 0,
+                interpret=FUSED_ATTN_INTERPRET)
+            if shift > 0:
+                out = jnp.roll(out, (shift, shift), axis=(1, 2))
+            return out.reshape(b, h * w, -1)
         y = window_attention_fused(
             img, p["norm1"], tables, num_heads, window,
             shifted=shift > 0, interpret=FUSED_ATTN_INTERPRET)

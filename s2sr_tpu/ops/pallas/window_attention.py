@@ -139,12 +139,24 @@ def build_attention_tables(attn_params, num_heads: int, window: int,
             m[n:, n:] = types[b]
             masks[t] = m[perm[:, None], perm[None, :]]
 
+    # lane-packed forms (kernel v4): one N=3·heads·32 qkv dot and one
+    # K=heads·32 proj dot instead of 18+6 quarter-filled N=32/K=32
+    # passes; per-head values come from static 32-aligned lane slices
+    wqkv_p = jnp.concatenate(
+        [w.transpose(1, 0, 2).reshape(C, num_heads * 32)
+         for w in (wq, wk, wv)], axis=1)               # (C, 3·h·32)
+    bqkv_p = jnp.concatenate([b.reshape(num_heads * 32)
+                              for b in (bq, bk, bv)])
+    wo_cat = wo.reshape(num_heads * 32, C)
+
     return {
         "wq": wq.astype(dtype), "wk": wk.astype(dtype),
         "wv": wv.astype(dtype),
         "bq": bq.astype(dtype), "bk": bk.astype(dtype),
         "bv": bv.astype(dtype),
         "wo": wo.astype(dtype), "bo": bproj.astype(dtype),
+        "wqkv_p": wqkv_p.astype(dtype), "bqkv_p": bqkv_p.astype(dtype),
+        "wo_cat": wo_cat.astype(dtype),
         "bias": bias2,
         "masks": jnp.asarray(masks),
     }
@@ -212,6 +224,143 @@ def _attn_kernel(x_ref, gw_ref, gb_ref, wq_ref, wk_ref, wv_ref,
     acc = acc + bo_ref[:].astype(jnp.float32)
     out = acc.astype(dtype).reshape(pw, w, 2 * w, C).transpose(1, 0, 2, 3)
     out_ref[0] = out.reshape(w, 2 * w * pw, C)
+
+
+def _block_kernel(x_ref, gw_ref, gb_ref, wqkv_ref, bqkv_ref,
+                  wo_ref, bo_ref,
+                  bias_ref, masks_ref,
+                  g2w_ref, g2b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                  out_ref, *,
+                  num_heads: int, window: int, shifted: bool,
+                  nh: int, npair: int, pw: int, eps: float):
+    """The WHOLE Swin block in one pass:
+
+        y = x + proj(attn(LN1(x)));  out = y + fc2(gelu(fc1(LN2(y))))
+
+    x is read once from HBM, out written once — the block's
+    minimal-traffic formulation (the attention-only kernel still
+    round-tripped y and the 2×-wide fc1 hidden through HBM). Runs in
+    rolled space for shifted blocks (every non-attention op is
+    per-token, so the roll commutes).
+
+    MXU shape discipline (the v3→v4 step that made the kernel
+    compute-efficient once the traffic was gone): qkv is ONE dot with
+    heads packed in the lane dim (N = 3·heads·32) and the proj is ONE
+    K = heads·32 dot over the lane-concatenated head outputs — the
+    per-head N=32/K=32 formulation left 3/4 of the MXU's output lanes
+    idle on the model's FLOP-dominant matmuls. Per-head q/k/v come
+    from static 32-aligned lane slices (cheap vector relayout)."""
+    w = window
+    n2 = 2 * w * w
+    C = x_ref.shape[-1]
+    dtype = out_ref.dtype
+    tokens = pw * n2
+    H32 = num_heads * 32
+
+    x = x_ref[0].reshape(w, pw, 2 * w, C).transpose(1, 0, 2, 3) \
+        .reshape(tokens, C)
+
+    def ln(v, wt, bt):
+        vf = v.astype(jnp.float32)
+        mean = jnp.mean(vf, axis=-1, keepdims=True)
+        var = jnp.mean((vf - mean) ** 2, axis=-1, keepdims=True)
+        o = (vf - mean) * jax.lax.rsqrt(var + eps)
+        return (o * wt.astype(jnp.float32)
+                + bt.astype(jnp.float32)).astype(dtype)
+
+    lnx = ln(x, gw_ref[:], gb_ref[:])
+
+    z = (jax.lax.dot(lnx, wqkv_ref[:],
+                     preferred_element_type=jnp.float32)
+         + bqkv_ref[:]).astype(dtype)                  # (tokens, 3·H32)
+
+    head_outs = []
+    for h in range(num_heads):
+        q = z[:, h * 32:(h + 1) * 32]
+        k = z[:, H32 + h * 32:H32 + (h + 1) * 32]
+        v = z[:, 2 * H32 + h * 32:2 * H32 + (h + 1) * 32]
+        outs = []
+        for p_i in range(pw):
+            sl = slice(p_i * n2, (p_i + 1) * n2)
+            s = jax.lax.dot_general(
+                q[sl], k[sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s + bias_ref[h]
+            if shifted:
+                i = pl.program_id(1)
+                j = pl.program_id(2)
+                t = 2 * (i == nh - 1).astype(jnp.int32) \
+                    + (j * pw + p_i == npair - 1).astype(jnp.int32)
+                s = s + masks_ref[t]
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            e = e / jnp.sum(e, axis=-1, keepdims=True)
+            outs.append(jax.lax.dot(e.astype(dtype), v[sl],
+                                    preferred_element_type=jnp.float32))
+        head_outs.append(jnp.concatenate(outs, axis=0).astype(dtype))
+    o_cat = jnp.concatenate(head_outs, axis=1)         # (tokens, H32)
+    acc = jax.lax.dot(o_cat, wo_ref[:],
+                      preferred_element_type=jnp.float32)
+    y = (x.astype(jnp.float32) + acc + bo_ref[:].astype(jnp.float32))
+
+    # MLP on the attention result, residual fused
+    lny = ln(y, g2w_ref[:], g2b_ref[:])
+    hdn = (jax.lax.dot(lny, w1_ref[:],
+                       preferred_element_type=jnp.float32)
+           + b1_ref[:]).astype(dtype)
+    hdn = jax.nn.gelu(hdn, approximate=dtype == jnp.bfloat16)
+    mlp = jax.lax.dot(hdn, w2_ref[:],
+                      preferred_element_type=jnp.float32) + b2_ref[:]
+    out = (y + mlp).astype(dtype)
+    out = out.reshape(pw, w, 2 * w, C).transpose(1, 0, 2, 3)
+    out_ref[0] = out.reshape(w, 2 * w * pw, C)
+
+
+def swin_block_fused(x: jnp.ndarray, p_block, tables,
+                     num_heads: int, window: int, shifted: bool,
+                     *, pairs_per_step: int = 8,
+                     eps: float = 1e-5,
+                     interpret: bool = False) -> jnp.ndarray:
+    """One whole Swin block (LN1→attn→proj→+res→LN2→MLP→+res) as a
+    single Pallas pass over the (rolled) NHWC map. ``p_block`` is the
+    block's param dict (norm1/attn/norm2/mlp); ``tables`` from
+    :func:`build_attention_tables` on ``p_block['attn']``."""
+    b, h, w_, c = x.shape
+    assert h % window == 0 and w_ % (2 * window) == 0
+    nh = h // window
+    npair = w_ // (2 * window)
+    pw = pairs_per_step
+    while npair % pw:
+        pw //= 2
+
+    kernel = functools.partial(
+        _block_kernel, num_heads=num_heads, window=window,
+        shifted=shifted, nh=nh, npair=npair, pw=pw, eps=eps)
+
+    spatial = pl.BlockSpec((1, window, 2 * window * pw, c),
+                           lambda bb, i, j: (bb, i, j, 0))
+    full = lambda a: pl.BlockSpec(a.shape, lambda bb, i, j: (0,) * a.ndim)
+
+    dt = x.dtype
+    args = (p_block["norm1"]["weight"].astype(dt),
+            p_block["norm1"]["bias"].astype(dt),
+            tables["wqkv_p"], tables["bqkv_p"],
+            tables["wo_cat"], tables["bo"],
+            tables["bias"], tables["masks"],
+            p_block["norm2"]["weight"].astype(dt),
+            p_block["norm2"]["bias"].astype(dt),
+            p_block["mlp"]["fc1"]["weight"].astype(dt),
+            p_block["mlp"]["fc1"]["bias"].astype(dt),
+            p_block["mlp"]["fc2"]["weight"].astype(dt),
+            p_block["mlp"]["fc2"]["bias"].astype(dt))
+    return pl.pallas_call(
+        kernel,
+        grid=(b, nh, npair // pw),
+        in_specs=[spatial] + [full(a) for a in args],
+        out_specs=spatial,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        interpret=interpret,
+    )(x, *args)
 
 
 def window_attention_fused(x: jnp.ndarray, norm_params, tables,

@@ -72,7 +72,7 @@ def test_ungated_configs_ignored():
 
 
 GOOD_R5 = GOOD + [
-    {"config": "7_swinir_exact_512", "seconds": 0.34, "mpix_s": 0.78},
+    {"config": "7_swinir_exact_512", "seconds": 0.26, "mpix_s": 1.03},
     {"config": "8_edsr_x4_device", "seconds": 0.33, "mpix_s": 0.80},
     {"config": "9_rdb_chain", "seconds": 0.72, "tf_s": 57.2},
 ]

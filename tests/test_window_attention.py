@@ -108,3 +108,46 @@ def test_bf16_close_to_fp32_oracle():
     got = np.asarray(_kernel(x, p, WIN // 2, dtype=jnp.bfloat16))
     # bf16 matmuls with f32 accumulation: activation-scale agreement
     assert np.abs(got.astype(np.float32) - want).max() < 0.05
+
+
+@pytest.mark.parametrize("shift", [0, WIN // 2])
+def test_block_kernel_matches_xla_fp32(shift):
+    """v4: the WHOLE block (LN1→attn→proj→+res→LN2→MLP→+res) in one
+    kernel pass with lane-packed qkv/proj dots — must equal the XLA
+    block (without roll-back, rolled space) in fp32."""
+    from s2sr_tpu.ops.pallas.window_attention import swin_block_fused
+
+    h, w = 24, 32
+    p = _block_params(jax.random.PRNGKey(8))
+    hidden = C * 2
+    p["norm2"] = {"weight": 1.0 + 0.1 * jax.random.normal(
+        jax.random.PRNGKey(9), (C,)),
+        "bias": 0.05 * jax.random.normal(jax.random.PRNGKey(10), (C,))}
+    p["mlp"] = {
+        "fc1": {"weight": jax.random.normal(
+            jax.random.PRNGKey(11), (C, hidden)) * 0.05,
+            "bias": jnp.zeros((hidden,))},
+        "fc2": {"weight": jax.random.normal(
+            jax.random.PRNGKey(12), (hidden, C)) * 0.05,
+            "bias": jnp.zeros((C,))},
+    }
+    x = jax.random.normal(jax.random.PRNGKey(13), (1, h, w, C))
+
+    # XLA reference: full _swin_block on tokens
+    bias_idx = jnp.asarray(sw.relative_position_index(WIN))
+    mask = sw._shift_mask_device(h, w, WIN, WIN // 2) if shift else None
+    tok = x.reshape(1, h * w, C)
+    want = sw._swin_block(tok, p, h, w, HEADS, WIN, shift, bias_idx,
+                          mask).reshape(1, h, w, C)
+
+    tables = build_attention_tables(p["attn"], HEADS, WIN, shift,
+                                    dtype=jnp.float32)
+    y = x
+    if shift:
+        y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+    got = swin_block_fused(y, p, tables, HEADS, WIN,
+                           shifted=bool(shift), interpret=True)
+    if shift:
+        got = jnp.roll(got, (shift, shift), axis=(1, 2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
