@@ -254,6 +254,10 @@ class SREngine:
                 scale=config["scale"], embed_dim=config["embed_dim"],
                 depths=config["depths"], num_heads=config["num_heads"],
                 window_size=config["window_size"], dtype=self.dtype,
+                # a mesh shards the window batch over dp (GSPMD) — the
+                # fused Pallas block is a custom call GSPMD cannot
+                # partition, so mesh engines pin the XLA formulation
+                fused_attn="0" if mesh is not None else None,
             )
             # Same resolution ladder as resolve_params: a converted or
             # trained .npz (convert_weights --from-ckpt --family swinir)
