@@ -57,15 +57,17 @@ _HALO_PAD_LADDER = (6, 8, 10)
 # 1536² OOM'd HBM on the whole-image upsample tail). r5's scan trunk +
 # fused Pallas attention + strip tail (models/swinir.py) lift the
 # exact path to 0.78-0.83 MPix/s AND through 2048² (walk in
-# BENCH_NOTES r5). Exact wins by default; `sr_exact_area` lowers the
+# BENCH_NOTES r5; the r5 whole-block kernel then shrank the live set
+# enough that 2560² compiles too — 1.10 MPix/s, same flat rate).
+# Exact wins by default; `sr_exact_area` lowers the
 # threshold where warm fixed-window executables matter more than
 # exactness. Sizes above fall back to tiled (approximate-by-
 # construction, like the reference wrapper `server/app/swinir.py:
 # 704-748`). TRADE-OFF: the exact path jit-compiles per input shape,
-# so each NEW upload shape in (512², 2048²] pays a cold whole-image
+# so each NEW upload shape in (512², 2560²] pays a cold whole-image
 # compile (minutes through a remote-compile relay; the persistent XLA
 # cache makes it once-ever per shape).
-SWINIR_EXACT_AREA = 2048 * 2048
+SWINIR_EXACT_AREA = 2560 * 2560
 
 
 def probe_halo_margin(params, scale, dtype, pad, *, probe_tile=32,
