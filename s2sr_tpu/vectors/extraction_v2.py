@@ -231,12 +231,42 @@ def carve_roads_from_labels(
 
 # --- statistics / confidence / zones -----------------------------------
 
+def _poly_window(poly: Polygon, transform: Affine,
+                 shape: Tuple[int, int], margin: int = 3):
+    """Pixel bounding window of a world-space polygon.
+
+    Per-field stats/zones rasterized over the FULL raster made the
+    feature loop O(features × pixels) — 63% of the full-res wall time
+    in the r5 profile (16.8 MPix × 558 fields). Returns a local
+    inverse transform (world → window-relative pixel), the (y0, x0)
+    offset, and the window shape; margin covers the 2-px boundary
+    dilation."""
+    exterior = np.asarray(poly.to_geojson()["coordinates"][0], np.float64)
+    inv = ~transform
+    col, row = inv * (exterior[:, 0], exterior[:, 1])
+    h, w = shape
+    x0 = max(int(np.floor(np.min(col))) - margin, 0)
+    y0 = max(int(np.floor(np.min(row))) - margin, 0)
+    x1 = min(int(np.ceil(np.max(col))) + margin, w)
+    y1 = min(int(np.ceil(np.max(row))) + margin, h)
+    if x1 <= x0 or y1 <= y0:
+        return None
+    local_inv = Affine.translation(-x0, -y0) * inv
+    return local_inv, (y0, x0), (y1 - y0, x1 - x0)
+
+
 def compute_field_statistics(
     poly: Polygon, ndvi: np.ndarray, gradient: np.ndarray,
     transform: Affine,
 ) -> dict:
+    win = _poly_window(poly, transform, ndvi.shape)
+    if win is None:
+        return {}
+    local_inv, (y0, x0), (bh, bw) = win
+    ndvi = ndvi[y0:y0 + bh, x0:x0 + bw]
+    gradient = gradient[y0:y0 + bh, x0:x0 + bw]
     mask = rasterize_polygon(poly.to_geojson()["coordinates"],
-                             ndvi.shape, ~transform)
+                             (bh, bw), local_inv)
     values = ndvi[mask]
     if len(values) == 0:
         return {}
@@ -287,8 +317,13 @@ def compute_confidence_v2(stats: dict, source: str) -> float:
 def generate_management_zones(
     poly: Polygon, ndvi: np.ndarray, transform: Affine, num_zones: int = 3
 ) -> List[dict]:
+    win = _poly_window(poly, transform, ndvi.shape)
+    if win is None:
+        return []
+    local_inv, (y0, x0), (bh, bw) = win
+    ndvi = ndvi[y0:y0 + bh, x0:x0 + bw]
     mask = rasterize_polygon(poly.to_geojson()["coordinates"],
-                             ndvi.shape, ~transform)
+                             (bh, bw), local_inv)
     rows, cols = np.where(mask)
     if len(rows) < num_zones * 10:
         return []
@@ -305,7 +340,8 @@ def generate_management_zones(
         for zp in mask_to_polygons(zone_mask):
             if zp.is_empty:
                 continue
-            world = zp.transform(lambda x, y: transform * (x, y))
+            world = zp.transform(
+                lambda x, y: transform * (x + x0, y + y0))
             zones.append({
                 "geometry": world,
                 "zone_id": int(zone_id),
