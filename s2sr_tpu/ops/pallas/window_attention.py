@@ -226,6 +226,25 @@ def _attn_kernel(x_ref, gw_ref, gb_ref, wq_ref, wk_ref, wv_ref,
     out_ref[0] = out.reshape(w, 2 * w * pw, C)
 
 
+def _erf(x):
+    """erf via Abramowitz-Stegun 7.1.26 (|err| ≤ 1.5e-7) — Mosaic has
+    no erf/erfc lowering, and the fp32 GELU path needs the exact form
+    (the bf16 production path uses the tanh approximation)."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_kernel(h, dtype):
+    if dtype == jnp.bfloat16:
+        return jax.nn.gelu(h, approximate=True)
+    hf = h.astype(jnp.float32)
+    return (0.5 * hf * (1.0 + _erf(hf / np.sqrt(2.0)))).astype(h.dtype)
+
+
 def _block_kernel(x_ref, gw_ref, gb_ref, wqkv_ref, bqkv_ref,
                   wo_ref, bo_ref,
                   bias_ref, masks_ref,
@@ -308,7 +327,7 @@ def _block_kernel(x_ref, gw_ref, gb_ref, wqkv_ref, bqkv_ref,
     hdn = (jax.lax.dot(lny, w1_ref[:],
                        preferred_element_type=jnp.float32)
            + b1_ref[:]).astype(dtype)
-    hdn = jax.nn.gelu(hdn, approximate=dtype == jnp.bfloat16)
+    hdn = _gelu_kernel(hdn, dtype)
     mlp = jax.lax.dot(hdn, w2_ref[:],
                       preferred_element_type=jnp.float32) + b2_ref[:]
     out = (y + mlp).astype(dtype)

@@ -59,7 +59,46 @@ def main() -> None:
         "bf16_max_abs_vs_cpu_fp32": dbf,
         "fp32_uint8_mismatch_frac": u8_mismatch32,
         "bf16_uint8_max_lsb": lsb_bf,
-    }))
+    }), flush=True)
+
+    # --- SwinIR: the fused Pallas block kernel's MOSAIC lowering vs
+    # the CPU fp32 XLA oracle (the interpret-mode tests pin interpret
+    # semantics only — this is the on-chip evidence, r5) -------------
+    from s2sr_tpu.models import swinir as sw
+
+    model = sw.SwinIR(dtype=jnp.float32)
+    sp = model.init(jax.random.PRNGKey(1))
+    xs_np = rng.random((1, 256, 256, 3)).astype(np.float32)
+    with jax.default_device(cpu):
+        sp_cpu = jax.device_put(sp, cpu)
+        sw.FUSED_ATTN = "0"
+        m_cpu = sw.SwinIR(dtype=jnp.float32)
+        want_s = np.asarray(m_cpu.apply(sp_cpu, jnp.asarray(xs_np)))
+    # control FIRST: XLA fp32 on TPU vs the CPU oracle — random-init
+    # 36-block propagation amplifies platform fp32 differences (TPU
+    # f32 matmul internals, excess-precision flags) to ~0.17; the
+    # fused kernel must sit AT this floor, not above it
+    ctrl = np.asarray(sw.SwinIR(dtype=jnp.float32)
+                      .apply(sp, jnp.asarray(xs_np)))
+    sw.FUSED_ATTN = "1"
+    got_f32 = np.asarray(sw.SwinIR(dtype=jnp.float32)
+                         .apply(sp, jnp.asarray(xs_np)))
+    got_bf = np.asarray(sw.SwinIR(dtype=jnp.bfloat16)
+                        .apply(sp, jnp.asarray(xs_np)))
+    sw.FUSED_ATTN = "auto"
+    print(json.dumps({
+        "model": "SwinIR-M x4 fused block kernel (random init)",
+        "control_xla_fp32_tpu_vs_cpu": float(
+            np.abs(ctrl - want_s).max()),
+        "fused_fp32_max_abs_vs_cpu_xla": float(
+            np.abs(got_f32 - want_s).max()),
+        "fused_fp32_vs_xla_fp32_on_tpu": float(
+            np.abs(got_f32 - ctrl).max()),
+        "fused_bf16_max_abs_vs_cpu_fp32": float(
+            np.abs(got_bf - want_s).max()),
+        "fused_bf16_uint8_max_lsb": int(np.abs(
+            u8(got_bf).astype(int) - u8(want_s).astype(int)).max()),
+    }), flush=True)
 
 
 if __name__ == "__main__":
